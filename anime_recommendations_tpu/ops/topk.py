@@ -1,0 +1,202 @@
+"""Pallas kernel: fused similarity matmul + masked top-k.
+
+TPU-native replacement for the reference retrieval hot loop
+(similar_anime.py:404-408, similar_users.py:293-296): instead of
+materializing all N scores in HBM and argsort-ing them on the host, each
+grid step streams one row-block of the embedding table through VMEM,
+computes the block's scores on the MXU, applies validity masks, and reduces
+to a per-block top-k on the VPU. A cheap XLA merge over the
+(num_blocks * k) candidates yields the exact global top-k.
+
+HBM traffic is one read of the table (plus tiny outputs) — the
+speed-of-light bound for this op. Filters (type/genre restriction,
+self-exclusion, watched-set masking) are pushed INTO the kernel as masks,
+replacing the reference's post-hoc pandas row loops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30  # masked-score sentinel (finite: avoids inf-inf NaNs)
+DEFAULT_BLOCK_ROWS = 2048
+
+
+def _topk_kernel(
+    q_ref,       # [Qp, D] queries, VMEM
+    w_ref,       # [B, D] table block, VMEM
+    mask_ref,    # [B, 1] f32 row-validity (>0 keeps), VMEM
+    excl_ref,    # [1, Qp] i32 row to exclude per query (-1: none), VMEM
+    head_ref,    # [1, 2] f32 (alpha, beta) for the optional sigmoid head, SMEM
+    out_s_ref,   # [k, Qp] block top-k scores
+    out_i_ref,   # [k, Qp] block top-k row indices
+    *,
+    k: int,
+    k_pad: int,
+    block_rows: int,
+    n_valid: int,
+    use_head: bool,
+):
+    b = pl.program_id(0)
+    base = b * block_rows
+    # MXU: [B, D] x [Qp, D]^T -> [B, Qp], f32 accumulate. HIGHEST precision
+    # (3-pass bf16) because the kernel is HBM-bound, not MXU-bound, and
+    # retrieval rankings should match the f32 oracle bit-for-bit in order.
+    scores = jax.lax.dot_general(
+        w_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if use_head:
+        alpha = head_ref[0, 0]
+        beta = head_ref[0, 1]
+        scores = jax.nn.sigmoid(alpha * scores + beta)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + base
+    valid = rows < n_valid
+    valid &= mask_ref[:] > 0.0                      # [B,1] broadcasts over Qp
+    valid &= rows != excl_ref[0, :][None, :]        # per-query self-exclusion
+    scores = jnp.where(valid, scores, _NEG)
+
+    # Iterative max-extraction: k is small (10s), so k passes over the
+    # [B, Qp] block on the VPU cost less than any in-kernel sort.
+    for j in range(k):
+        best = jnp.max(scores, axis=0)
+        best_idx = jnp.argmax(scores, axis=0).astype(jnp.int32)
+        out_s_ref[j, :] = best
+        out_i_ref[j, :] = best_idx + base
+        hit = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) == best_idx[None, :]
+        scores = jnp.where(hit, _NEG, scores)
+    # Rows padding k up to the 8-sublane tile carry the masked sentinel so
+    # the global merge can never pick them.
+    for j in range(k, k_pad):
+        out_s_ref[j, :] = jnp.full((scores.shape[1],), _NEG, jnp.float32)
+        out_i_ref[j, :] = jnp.full((scores.shape[1],), -1, jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "interpret", "use_head", "lane_pad"),
+)
+def masked_topk(
+    table: jax.Array,            # [N, D]
+    queries: jax.Array,          # [Qn, D]
+    k: int,
+    mask: jax.Array | None = None,      # [N] bool/float; True/.>0 keeps the row
+    exclude: jax.Array | None = None,   # [Qn] int32 row index to drop (-1: none)
+    head: jax.Array | None = None,      # [2] (alpha, beta) -> sigmoid(alpha*s+beta)
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    interpret: bool | None = None,
+    use_head: bool = False,
+    lane_pad: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k of (optionally transformed) ``table @ queries.T`` scores.
+
+    Returns (values [Qn, k], indices [Qn, k]) sorted descending. Rows masked
+    out / excluded / beyond N can only appear when fewer than k valid rows
+    exist; they carry score <= -1e30.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, d = table.shape
+    qn = queries.shape[0]
+    block_rows = min(block_rows, _round_up(n, 8))
+    if k > block_rows:
+        raise ValueError(f"k={k} must be <= block_rows={block_rows}")
+
+    qp = _round_up(max(qn, 1), lane_pad)
+    k_pad = _round_up(k, 8)
+    n_pad = _round_up(n, block_rows)
+    nb = n_pad // block_rows
+
+    table_p = jnp.pad(table, ((0, n_pad - n), (0, 0)))
+    queries_p = jnp.pad(
+        queries.astype(table.dtype), ((0, qp - qn), (0, 0))
+    )
+    if mask is None:
+        mask_col = jnp.ones((n_pad, 1), jnp.float32)
+    else:
+        mask_col = jnp.pad(
+            mask.astype(jnp.float32).reshape(n, 1), ((0, n_pad - n), (0, 0))
+        )
+    if exclude is None:
+        excl_row = jnp.full((1, qp), -1, jnp.int32)
+    else:
+        excl_row = jnp.pad(
+            exclude.astype(jnp.int32).reshape(1, qn),
+            ((0, 0), (0, qp - qn)),
+            constant_values=-1,
+        )
+    if head is None:
+        head_arr = jnp.zeros((1, 2), jnp.float32)
+    else:
+        head_arr = head.astype(jnp.float32).reshape(1, 2)
+
+    kernel = functools.partial(
+        _topk_kernel,
+        k=k,
+        k_pad=k_pad,
+        block_rows=block_rows,
+        n_valid=n,
+        use_head=use_head,
+    )
+    block_s, block_i = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k_pad, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * k_pad, qp), jnp.float32),
+            jax.ShapeDtypeStruct((nb * k_pad, qp), jnp.int32),
+        ),
+        interpret=interpret,
+    )(queries_p, table_p, mask_col, excl_row, head_arr)
+
+    # Exact global merge over nb*k candidates per query (tiny, XLA top_k).
+    cand_s = block_s.T  # [qp, nb*k]
+    cand_i = block_i.T
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s[:qn], top_i[:qn]
+
+
+def cosine_topk(
+    table_normalized: jax.Array,
+    query_rows: jax.Array,
+    k: int,
+    mask: jax.Array | None = None,
+    exclude: jax.Array | None = None,
+    **kwargs,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k cosine similarity of query rows against a row-normalized table.
+
+    The reference computes np.dot(weights, weights[idx]) + full argsort
+    (similar_anime.py:404-408); here the query rows are assumed to be rows
+    of the normalized table (or any normalized vectors) and the scan is a
+    single fused kernel pass.
+    """
+    if query_rows.ndim == 1:
+        query_rows = query_rows[None, :]
+    return masked_topk(
+        table_normalized, query_rows, k, mask=mask, exclude=exclude, **kwargs
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m

@@ -1,0 +1,139 @@
+"""Pallas kernels vs numpy oracles (interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anime_recommendations_tpu.models import two_tower as tt
+from anime_recommendations_tpu.ops.normalize import l2_normalize_rows
+from anime_recommendations_tpu.ops.scoring import head_affine, score_all_items, score_topk
+from anime_recommendations_tpu.ops.topk import cosine_topk, masked_topk
+
+
+def normed(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def table():
+    rng = np.random.default_rng(1)
+    return normed(rng.normal(size=(500, 64)).astype(np.float32))
+
+
+def test_l2_normalize_rows_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(300, 48)).astype(np.float32) * 10
+    out = np.asarray(l2_normalize_rows(jnp.asarray(x)))
+    np.testing.assert_allclose(out, normed(x), rtol=1e-5)
+
+
+def test_l2_normalize_rows_unaligned_rows():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(37, 16)).astype(np.float32)
+    out = np.asarray(l2_normalize_rows(jnp.asarray(x)))
+    np.testing.assert_allclose(out, normed(x), rtol=1e-5)
+
+
+def oracle_topk(scores, k):
+    idx = np.argsort(-scores, kind="stable")[:k]
+    return scores[idx], idx
+
+
+def test_cosine_topk_matches_oracle(table):
+    q = table[[3, 77, 123]]
+    vals, idx = cosine_topk(jnp.asarray(table), jnp.asarray(q), k=7, block_rows=128)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for row, qi in enumerate([3, 77, 123]):
+        ref_scores = table @ table[qi]
+        ref_v, _ = oracle_topk(ref_scores, 7)
+        np.testing.assert_allclose(vals[row], ref_v, rtol=1e-5)
+        # Self is included when not excluded (reference drops it afterwards).
+        assert idx[row, 0] == qi
+        np.testing.assert_allclose(
+            ref_scores[idx[row]], vals[row], rtol=1e-5
+        )
+
+
+def test_exclude_self(table):
+    q = table[[10, 20]]
+    vals, idx = cosine_topk(
+        jnp.asarray(table), jnp.asarray(q), k=5,
+        exclude=jnp.asarray([10, 20]), block_rows=128,
+    )
+    idx = np.asarray(idx)
+    assert 10 not in idx[0] and 20 not in idx[1]
+    ref = np.delete(table @ table[10], 10)
+    np.testing.assert_allclose(np.asarray(vals)[0, 0], ref.max(), rtol=1e-5)
+
+
+def test_row_mask(table):
+    keep = np.zeros(len(table), bool)
+    keep[:100] = True
+    vals, idx = cosine_topk(
+        jnp.asarray(table), jnp.asarray(table[[5]]), k=4,
+        mask=jnp.asarray(keep), block_rows=128,
+    )
+    assert np.asarray(idx).max() < 100
+    ref_v, ref_i = oracle_topk((table @ table[5])[:100], 4)
+    np.testing.assert_allclose(np.asarray(vals)[0], ref_v, rtol=1e-5)
+
+
+def test_fewer_valid_rows_than_k(table):
+    keep = np.zeros(len(table), bool)
+    keep[:3] = True
+    vals, idx = masked_topk(
+        jnp.asarray(table), jnp.asarray(table[[0]]), k=8,
+        mask=jnp.asarray(keep), block_rows=128,
+    )
+    vals = np.asarray(vals)[0]
+    assert (vals[:3] > -1e29).all() and (vals[3:] <= -1e29).all()
+
+
+def test_unaligned_table_size():
+    rng = np.random.default_rng(2)
+    tab = normed(rng.normal(size=(333, 32)).astype(np.float32))
+    vals, idx = cosine_topk(jnp.asarray(tab), jnp.asarray(tab[[7]]), k=5, block_rows=128)
+    ref_v, _ = oracle_topk(tab @ tab[7], 5)
+    np.testing.assert_allclose(np.asarray(vals)[0], ref_v, rtol=1e-5)
+    assert np.asarray(idx).max() < 333
+
+
+def test_score_topk_matches_model_predict():
+    params = tt.init_params(jax.random.PRNGKey(3), n_users=40, n_anime=200,
+                            embedding_size=32)
+    # Perturb head/bn so the affine fold is non-trivial.
+    params = params._replace(dense_w=jnp.float32(1.7), dense_b=jnp.float32(-0.3),
+                             bn_gamma=jnp.float32(0.9), bn_beta=jnp.float32(0.2))
+    bn = tt.BNState(moving_mean=jnp.float32(0.1), moving_var=jnp.float32(1.4))
+
+    user_index = 17
+    full = np.asarray(score_all_items(params, bn, jnp.int32(user_index)))
+    # Oracle: the model's own predict over every anime.
+    preds = np.asarray(
+        tt.predict(params, bn,
+                   jnp.full(200, user_index, jnp.int32), jnp.arange(200))
+    )
+    np.testing.assert_allclose(full, preds, rtol=1e-5)
+
+    anime_n, user_n = tt.normalized_tables(params)
+    watched = np.zeros(200, bool)
+    watched[[5, 6, 7]] = True
+    vals, idx = score_topk(
+        anime_n, user_n[user_index], head_affine(params, bn), k=6,
+        mask=jnp.asarray(~watched), block_rows=128,
+    )
+    vals, idx = np.asarray(vals)[0], np.asarray(idx)[0]
+    masked = preds.copy()
+    masked[watched] = -np.inf
+    ref_v, ref_i = oracle_topk(masked, 6)
+    np.testing.assert_allclose(vals, ref_v, rtol=1e-5)
+    assert not set(idx) & {5, 6, 7}
+
+
+def test_batched_queries_independent(table):
+    qs = table[[1, 2, 3, 4, 5, 6, 7, 8, 9]]
+    vals, idx = cosine_topk(jnp.asarray(table), jnp.asarray(qs), k=3, block_rows=256)
+    for row, qi in enumerate(range(1, 10)):
+        ref_v, _ = oracle_topk(table @ table[qi], 3)
+        np.testing.assert_allclose(np.asarray(vals)[row], ref_v, rtol=1e-5)
