@@ -1,0 +1,137 @@
+"""Shared retrieval context.
+
+Replaces the reference's per-step re-downloading and re-deriving of the
+model, weights, vocab, rating frame, anime frame and synopses (every one of
+similar_anime/similar_users/user_prefs/user_recs/model_recs reloads all of
+them from W&B — e.g. similar_anime.py:376-379): one object holds the
+normalized embedding tables on device, the canonical vocab, the
+preprocessed rating frame, and the catalog, and every recommender reads
+from it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from anime_recommendations_tpu.data.catalog import Catalog
+from anime_recommendations_tpu.data.vocab import Vocab
+from anime_recommendations_tpu.models.two_tower import (
+    BNState,
+    TwoTowerParams,
+    normalized_tables,
+)
+from anime_recommendations_tpu.ops.scoring import head_affine
+
+
+@dataclass
+class RecContext:
+    vocab: Vocab
+    catalog: Catalog
+    ratings: pd.DataFrame          # preprocessed + encoded: user, anime, rating, user_id, anime_id
+    anime_norm: jax.Array          # [n_anime, D] L2-normalized rows, on device
+    user_norm: jax.Array           # [n_users, D]
+    head: jax.Array                # [2] (alpha, beta) folded eval-mode head
+    _by_user: "pd.core.groupby.DataFrameGroupBy" = field(default=None, repr=False)
+    _vocab_anime_meta: pd.DataFrame = field(default=None, repr=False)
+
+    def __post_init__(self):
+        self._by_user = self.ratings.groupby("user_id")
+        # Catalog metadata aligned to vocab rows (NaN rows for anime that are
+        # trained but absent from the catalog).
+        meta = self.catalog.anime.set_index("anime_id", drop=False)
+        self._vocab_anime_meta = meta.reindex(self.vocab.anime_ids)
+
+    # ---- constructors ---------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        params: TwoTowerParams,
+        bn_state: BNState,
+        vocab: Vocab,
+        catalog: Catalog,
+        ratings: pd.DataFrame,
+    ) -> "RecContext":
+        anime_norm, user_norm = normalized_tables(params)
+        return cls(
+            vocab=vocab,
+            catalog=catalog,
+            ratings=ratings,
+            anime_norm=jax.device_put(anime_norm),
+            user_norm=jax.device_put(user_norm),
+            head=head_affine(params, bn_state),
+        )
+
+    # ---- per-user views -------------------------------------------------------
+
+    def user_rows(self, user_id: int) -> pd.DataFrame:
+        """All rating rows of one user (reference df[df.user_id == user])."""
+        try:
+            return self._by_user.get_group(user_id)
+        except KeyError:
+            return self.ratings.iloc[0:0]
+
+    def random_user(self, rng: np.random.Generator | None = None) -> int:
+        rng = rng or np.random.default_rng()
+        return int(self.vocab.user_ids[rng.integers(len(self.vocab.user_ids))])
+
+    def random_anime_name(self, rng: np.random.Generator | None = None) -> str:
+        rng = rng or np.random.default_rng()
+        names = self.catalog.anime["Name"].unique()
+        return str(names[rng.integers(len(names))])
+
+    # ---- masks over vocab rows ------------------------------------------------
+
+    def vocab_meta(self) -> pd.DataFrame:
+        """Catalog metadata frame aligned to anime-vocab row order."""
+        return self._vocab_anime_meta
+
+    def in_catalog_mask(self) -> np.ndarray:
+        """Vocab rows whose anime exists in the catalog (the reference would
+        crash on these during enrichment; we mask them out)."""
+        return np.array(self._vocab_anime_meta["anime_id"].notna().to_numpy())
+
+    def type_mask(self, types: list[str]) -> np.ndarray:
+        """Vocab-row mask for catalog Type membership."""
+        catalog_mask = np.array(self.catalog.type_mask(list(types)))
+        return self._catalog_mask_to_vocab(catalog_mask)
+
+    def genre_mask(self, genres: list) -> np.ndarray:
+        """Vocab-row mask for the 3-genre restriction."""
+        catalog_mask = self.catalog.genre_mask(list(genres))
+        return self._catalog_mask_to_vocab(catalog_mask)
+
+    def watched_mask(self, user_id: int) -> np.ndarray:
+        """Vocab rows the user has rated."""
+        watched = np.zeros(self.vocab.n_anime, dtype=bool)
+        rows = self.user_rows(user_id)
+        idx = rows["anime"].to_numpy()
+        watched[idx[idx >= 0]] = True
+        return watched
+
+    def _catalog_mask_to_vocab(self, catalog_mask: np.ndarray) -> np.ndarray:
+        ids_ok = set(self.catalog.anime.loc[catalog_mask, "anime_id"].tolist())
+        return np.fromiter(
+            (int(a) in ids_ok for a in self.vocab.anime_ids),
+            dtype=bool,
+            count=self.vocab.n_anime,
+        )
+
+    # ---- encoded indices ------------------------------------------------------
+
+    def user_index(self, user_id: int) -> int:
+        idx = int(self.vocab.encode_users(np.asarray([user_id]))[0])
+        if idx < 0:
+            raise KeyError(f"User {user_id} not in training vocab")
+        return idx
+
+    def anime_index(self, anime_id: int) -> int:
+        idx = int(self.vocab.encode_anime(np.asarray([anime_id]))[0])
+        if idx < 0:
+            raise KeyError(f"Anime {anime_id} not in training vocab")
+        return idx

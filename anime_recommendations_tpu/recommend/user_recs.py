@@ -1,0 +1,105 @@
+"""User-based recommendations (favorites of similar users).
+
+Behavior parity with /root/reference/user_recs/user_recs.py
+similar_user_recs (:708-794): for each similar user take their
+percentile-favorites, drop anime already among the query user's favorites
+(the reference filters on the favorites frame's eng_version values), then
+rank candidates by how many similar users favorited them
+(pd.value_counts). Enrichment is by cleaned-name lookup, first catalog hit
+wins (get_anime_frame(..., clean=True)).
+
+Output schema matches figure_file/User_ID_153695_user_recs.csv:
+anime_id, Name, n_user_prefs, Source, Genres, Sypnopsis, Episodes,
+Japanese name, Studios, Premiered, Score, Type.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from anime_recommendations_tpu.recommend.context import RecContext
+from anime_recommendations_tpu.recommend.user_prefs import fave_rows
+
+OUTPUT_COLUMNS = [
+    "anime_id", "Name", "n_user_prefs", "Source", "Genres", "Sypnopsis",
+    "Episodes", "Japanese name", "Studios", "Premiered", "Score", "Type",
+]
+
+
+def user_recs(
+    ctx: RecContext,
+    user_id: int,
+    similar_user_ids: np.ndarray,
+    n: int = 10,
+    percentile: float = 80.0,
+    genres: list | None = None,
+    user_pref: pd.DataFrame | None = None,
+) -> tuple[pd.DataFrame, str]:
+    """Rank anime by the number of similar users who favorited them.
+
+    ``user_pref``: the query user's favorites frame (must contain
+    eng_version); recomputed at ``percentile`` when None.
+    ``genres``: optional 3-genre restriction (ID_spec_genres semantics).
+    Returns (frame, csv_filename).
+    """
+    filename = f"User_ID_{user_id}_user_recs.csv"
+    if user_pref is None:
+        user_pref = fave_rows(ctx, user_id, percentile)
+    seen_eng = set(user_pref["eng_version"].tolist())
+
+    collected: list[str] = []
+    for sim_id in similar_user_ids:
+        prefs = fave_rows(ctx, int(sim_id), percentile)
+        fresh = prefs[~prefs["eng_version"].isin(seen_eng)]
+        collected.extend(fresh["eng_version"].tolist())
+
+    if not collected:
+        return pd.DataFrame(columns=OUTPUT_COLUMNS), filename
+
+    counts = pd.Series(collected).value_counts()
+
+    # First catalog row per cleaned name (reference get_anime_frame clean=True).
+    lookup = ctx.catalog.anime.drop_duplicates(subset="eng_version").set_index(
+        "eng_version"
+    )
+    names = [n_ for n_ in counts.index if n_ in lookup.index]
+    rows = lookup.loc[names]
+    frame = pd.DataFrame(
+        {
+            "anime_id": rows["anime_id"].to_numpy(),
+            "Name": rows["Name"].to_numpy(),
+            "n_user_prefs": counts.loc[names].to_numpy(),
+            "Source": rows["Source"].to_numpy(),
+            "Genres": rows["Genres"].to_numpy(),
+            "Sypnopsis": [
+                ctx.catalog.synopsis_of(int(a)) for a in rows["anime_id"]
+            ],
+            "Episodes": rows["Episodes"].to_numpy(),
+            "Japanese name": rows["japanese_name"].to_numpy(),
+            "Studios": rows["Studios"].to_numpy(),
+            "Premiered": rows["Premiered"].to_numpy(),
+            "Score": rows["Score"].to_numpy(),
+            "Type": rows["Type"].to_numpy(),
+        }
+    )
+    if genres is not None:
+        mask = _genre_row_mask(ctx, frame["Genres"], genres)
+        frame = frame[mask]
+    return frame.head(n).reset_index(drop=True), filename
+
+
+def _genre_row_mask(ctx: RecContext, genre_col: pd.Series, genres: list) -> np.ndarray:
+    """Reference by_genre over an output frame (user_recs.py:491-552):
+    substring match of cleaned genres against lowercased space-stripped
+    Genres strings, 'none' never matches."""
+    from anime_recommendations_tpu.utils.text import clean_names
+
+    use = [g for g in clean_names([str(g) for g in genres]) if g != "none"]
+    keys = genre_col.astype(str).str.lower().str.replace(" ", "", regex=False)
+    mask = np.zeros(len(genre_col), dtype=bool)
+    for g in use:
+        import re
+
+        mask |= keys.str.contains(re.escape(g), regex=True).to_numpy()
+    return mask
