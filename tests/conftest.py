@@ -1,22 +1,21 @@
 """Test harness: force an 8-device virtual CPU mesh (SURVEY.md §4 plan (c)).
 
-Must run before jax initializes its backends, hence the env mutation at
-module import time. All distributed tests exercise real mesh/pjit/shard_map
-code paths on fake devices; the driver separately dry-runs the multi-chip
-path via __graft_entry__.dryrun_multichip.
+The environment injects a TPU PJRT plugin via sitecustomize at interpreter
+startup, so env-var forcing is too late; instead the jax config is flipped
+to an 8-device CPU topology here, before any backend initializes. All
+distributed tests then exercise real mesh/pjit/shard_map code paths on
+fake devices; the driver separately dry-runs the multi-chip path via
+__graft_entry__.dryrun_multichip. Opt into the real TPU with
+ANIMEREC_TEST_TPU=1.
 """
 
 import os
 
-# Opt into a real-TPU run with ANIMEREC_TEST_TPU=1; default is the 8-device
-# virtual CPU mesh regardless of what the parent shell exports.
 if os.environ.get("ANIMEREC_TEST_TPU", "0") != "1":
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
