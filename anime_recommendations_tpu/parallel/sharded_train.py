@@ -124,9 +124,9 @@ class ShardedTrainStep:
     def train_step(self, state, users, anime, ratings, weights, lr):
         return self._train(state, users, anime, ratings, weights, lr)
 
-    def eval_sums(self, state, users, anime, ratings, weights):
+    def eval_sums(self, params, bn_state, users, anime, ratings, weights):
         """Returns (loss_sum, mse_sum, weight_sum) over the global batch."""
-        return self._eval(state, users, anime, ratings, weights)
+        return self._eval(params, bn_state, users, anime, ratings, weights)
 
     def grads(self, state, users, anime, ratings, weights):
         """Debug/verification entry: the exact global gradient pytree
@@ -245,10 +245,9 @@ class ShardedTrainStep:
         specs = state_specs(self.shard_anime)
         batch_spec = P(DATA_AXIS)
 
-        def step(state: TrainState, users, anime, ratings, weights):
-            bn = state.bn_state
+        def step(params, bn, users, anime, ratings, weights):
             pred, _ = self._forward_local(
-                state.params, users, anime, weights,
+                params, users, anime, weights,
                 (bn.moving_mean, bn.moving_var),
             )
             w_sum = jax.lax.psum(jnp.sum(weights), DATA_AXIS)
@@ -256,13 +255,14 @@ class ShardedTrainStep:
             mse_sum = jax.lax.psum(
                 jnp.sum(jnp.square(pred - ratings) * weights), DATA_AXIS
             )
-            loss_sum = loss_sum + self._reg_sum(state.params) * w_sum
+            loss_sum = loss_sum + self._reg_sum(params) * w_sum
             return loss_sum, mse_sum, w_sum
 
         mapped = jax.shard_map(
             step,
             mesh=self.mesh,
-            in_specs=(specs, batch_spec, batch_spec, batch_spec, batch_spec),
+            in_specs=(specs.params, specs.bn_state, batch_spec, batch_spec,
+                      batch_spec, batch_spec),
             out_specs=(P(), P(), P()),
         )
         return jax.jit(mapped)

@@ -1,0 +1,84 @@
+"""Multi-chip trainer: the single-chip epoch loop over SPMD steps.
+
+Drop-in replacement for train.Trainer on a ('data','model') mesh. Handles:
+  * user-table row padding to a model-shard multiple (zero rows are inert
+    under the L2 term — parallel/mesh.pad_table)
+  * state placement with NamedShardings
+  * global batches sharded over 'data' (batch_size must divide evenly)
+
+The reference scaled lr/batch by num_replicas_in_sync but then never used
+the scaled values (neural_network.py:176-177 vs :213 — dead code, SURVEY.md
+§3.2); here scaling is explicit and opt-in via scale_lr_by_data_shards.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+
+from anime_recommendations_tpu.parallel.mesh import (
+    MODEL_AXIS,
+    make_mesh,
+    pad_rows_for_shards,
+)
+from anime_recommendations_tpu.parallel.sharded_train import (
+    ShardedTrainStep,
+    place_state,
+)
+from anime_recommendations_tpu.train.trainer import (
+    Trainer,
+    TrainState,
+    init_train_state,
+)
+
+
+@dataclass
+class ShardedTrainer(Trainer):
+    data_axis: int = -1
+    model_axis: int = 1
+    shard_anime: bool = False
+    scale_lr_by_data_shards: bool = False
+
+    def __post_init__(self):
+        self.mesh = make_mesh(self.data_axis, self.model_axis)
+        self._n_model = self.mesh.shape[MODEL_AXIS]
+        self._n_data = self.mesh.shape["data"]
+        if self.batch_size % self._n_data:
+            raise ValueError(
+                f"batch_size {self.batch_size} must divide by data shards "
+                f"{self._n_data}"
+            )
+        self._step = ShardedTrainStep(
+            self.mesh,
+            l2_reg_factor=self.l2_reg_factor,
+            shard_anime=self.shard_anime,
+        )
+
+    # ---- backend hooks --------------------------------------------------------
+
+    def _init_state(self, rng, n_users: int, n_anime: int) -> TrainState:
+        n_users_p = pad_rows_for_shards(n_users, self._n_model)
+        n_anime_p = (
+            pad_rows_for_shards(n_anime, self._n_model)
+            if self.shard_anime else n_anime
+        )
+        state = init_train_state(rng, n_users_p, n_anime_p, self.embedding_size)
+        return place_state(state, self.mesh, self.shard_anime)
+
+    def _train_step(self, state, batch, lr):
+        if self.scale_lr_by_data_shards:
+            lr = lr * self._n_data
+        return self._step.train_step(
+            state, batch.users, batch.anime, batch.ratings, batch.weights, lr
+        )
+
+    def _eval_sums(self, params, bn_state, batch):
+        return self._step.eval_sums(
+            params, bn_state, batch.users, batch.anime, batch.ratings,
+            batch.weights,
+        )
+
+    def _eval_batch_size(self, n_rows: int) -> int:
+        size = min(self.batch_size, max(n_rows, self._n_data))
+        return max(size - size % self._n_data, self._n_data)

@@ -129,6 +129,23 @@ class Trainer:
     checkpoint_dir: str | None = None
     log_fn: Any = field(default=print)
 
+    # ---- overridable backend hooks (ShardedTrainer overrides these) -----------
+
+    def _init_state(self, rng, n_users: int, n_anime: int) -> TrainState:
+        return init_train_state(rng, n_users, n_anime, self.embedding_size)
+
+    def _train_step(self, state, batch, lr):
+        return train_step(
+            state, batch.users, batch.anime, batch.ratings, batch.weights,
+            lr, self.l2_reg_factor,
+        )
+
+    def _eval_sums(self, params, bn_state, batch):
+        return eval_step(
+            params, bn_state, batch.users, batch.anime, batch.ratings,
+            batch.weights, self.l2_reg_factor,
+        )
+
     def lr(self, epoch: int) -> float:
         return lr_for_epoch(
             epoch,
@@ -149,9 +166,7 @@ class Trainer:
         initial_state: TrainState | None = None,
     ) -> TrainResult:
         rng = jax.random.PRNGKey(self.seed)
-        state = initial_state or init_train_state(
-            rng, n_users, n_anime, self.embedding_size
-        )
+        state = initial_state or self._init_state(rng, n_users, n_anime)
 
         ckptr = None
         if self.checkpoint_dir is not None:
@@ -178,10 +193,7 @@ class Trainer:
                 shuffle=self.shuffle_each_epoch,
                 seed=self.seed * 1000 + epoch,
             ):
-                state, loss, mse = train_step(
-                    state, batch.users, batch.anime, batch.ratings,
-                    batch.weights, lr, self.l2_reg_factor,
-                )
+                state, loss, mse = self._train_step(state, batch, lr)
                 losses.append(loss)
                 mses.append(mse)
                 bws.append(batch.weights.sum())
@@ -245,13 +257,13 @@ class Trainer:
         loss_sum = jnp.float32(0)
         mse_sum = jnp.float32(0)
         w_sum = jnp.float32(0)
-        for batch in ds.iter_batches(min(self.batch_size, max(len(ds), 1)), shuffle=False):
-            ls, ms, w = eval_step(
-                params, bn_state, batch.users, batch.anime, batch.ratings,
-                batch.weights, self.l2_reg_factor,
-            )
+        for batch in ds.iter_batches(self._eval_batch_size(len(ds)), shuffle=False):
+            ls, ms, w = self._eval_sums(params, bn_state, batch)
             loss_sum += ls
             mse_sum += ms
             w_sum += w
         w = float(np.maximum(float(w_sum), 1.0))
         return float(loss_sum) / w, float(mse_sum) / w
+
+    def _eval_batch_size(self, n_rows: int) -> int:
+        return min(self.batch_size, max(n_rows, 1))

@@ -112,7 +112,9 @@ def test_sharded_eval_matches_single_chip(single_state, batch):
     mesh = make_mesh(4, 2)
     step = ShardedTrainStep(mesh, l2_reg_factor=L2)
     sharded = place_state(clone_state(single_state), mesh)
-    ls, ms, ws = step.eval_sums(sharded, users, anime, ratings, weights)
+    ls, ms, ws = step.eval_sums(
+        sharded.params, sharded.bn_state, users, anime, ratings, weights
+    )
     rl, rm, rw = eval_step(
         single_state.params, single_state.bn_state, users, anime, ratings,
         weights, L2,
