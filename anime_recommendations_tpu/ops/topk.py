@@ -44,15 +44,20 @@ def _topk_kernel(
 ):
     b = pl.program_id(0)
     base = b * block_rows
-    # MXU: [B, D] x [Qp, D]^T -> [B, Qp], f32 accumulate. HIGHEST precision
-    # (3-pass bf16) because the kernel is HBM-bound, not MXU-bound, and
-    # retrieval rankings should match the f32 oracle bit-for-bit in order.
+    # MXU: [B, D] x [Qp, D]^T -> [B, Qp], f32 accumulate. For f32 tables use
+    # HIGHEST precision (3-pass bf16) — the kernel is HBM-bound, not
+    # MXU-bound, and retrieval order should match the f32 oracle. bf16
+    # tables use the native single-pass (Mosaic rejects fp32 contract
+    # precision on bf16 operands).
+    f32_inputs = w_ref.dtype == jnp.float32
     scores = jax.lax.dot_general(
         w_ref[:],
         q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=(
+            jax.lax.Precision.HIGHEST if f32_inputs else jax.lax.Precision.DEFAULT
+        ),
     )
     if use_head:
         alpha = head_ref[0, 0]
