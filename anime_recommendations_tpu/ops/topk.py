@@ -30,11 +30,11 @@ DEFAULT_BLOCK_ROWS = 2048
 def _topk_kernel(
     q_ref,       # [Qp, D] queries, VMEM
     w_ref,       # [B, D] table block, VMEM
-    mask_ref,    # [B, 1] f32 row-validity (>0 keeps), VMEM
+    mask_ref,    # [1, B] f32 row-validity (>0 keeps), VMEM
     excl_ref,    # [1, Qp] i32 row to exclude per query (-1: none), VMEM
     head_ref,    # [1, 2] f32 (alpha, beta) for the optional sigmoid head, SMEM
-    out_s_ref,   # [k, Qp] block top-k scores
-    out_i_ref,   # [k, Qp] block top-k row indices
+    out_s_ref,   # [k_pad, Qp] block top-k scores
+    out_i_ref,   # [k_pad, Qp] block top-k row indices
     *,
     k: int,
     k_pad: int,
@@ -44,15 +44,18 @@ def _topk_kernel(
 ):
     b = pl.program_id(0)
     base = b * block_rows
-    # MXU: [B, D] x [Qp, D]^T -> [B, Qp], f32 accumulate. For f32 tables use
-    # HIGHEST precision (3-pass bf16) — the kernel is HBM-bound, not
-    # MXU-bound, and retrieval order should match the f32 oracle. bf16
-    # tables use the native single-pass (Mosaic rejects fp32 contract
-    # precision on bf16 operands).
+    # MXU: [Qp, D] x [B, D]^T -> [Qp, B], f32 accumulate. The [Qp, B]
+    # layout is load-bearing: table rows land on the LANE axis, so the
+    # VPU extraction below runs at full 8x128 occupancy even for small
+    # query counts (a [B, Qp<128] layout would idle most lanes). For f32
+    # tables use HIGHEST precision (3-pass bf16) — the kernel is
+    # HBM-bound, not MXU-bound, and retrieval order should match the f32
+    # oracle. bf16 tables use the native single-pass (Mosaic rejects fp32
+    # contract precision on bf16 operands).
     f32_inputs = w_ref.dtype == jnp.float32
     scores = jax.lax.dot_general(
-        w_ref[:],
         q_ref[:],
+        w_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=(
@@ -64,26 +67,26 @@ def _topk_kernel(
         beta = head_ref[0, 1]
         scores = jax.nn.sigmoid(alpha * scores + beta)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + base
+    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
     valid = rows < n_valid
-    valid &= mask_ref[:] > 0.0                      # [B,1] broadcasts over Qp
-    valid &= rows != excl_ref[0, :][None, :]        # per-query self-exclusion
+    valid &= mask_ref[0, :][None, :] > 0.0          # [1,B] broadcasts over Qp
+    valid &= rows != excl_ref[0, :][:, None]        # per-query self-exclusion
     scores = jnp.where(valid, scores, _NEG)
 
-    # Iterative max-extraction: k is small (10s), so k passes over the
-    # [B, Qp] block on the VPU cost less than any in-kernel sort.
+    # Iterative max-extraction: k is small (10s), so k cross-lane-reduce
+    # passes over the [Qp, B] block cost less than any in-kernel sort.
     for j in range(k):
-        best = jnp.max(scores, axis=0)
-        best_idx = jnp.argmax(scores, axis=0).astype(jnp.int32)
+        best = jnp.max(scores, axis=1)
+        best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
         out_s_ref[j, :] = best
         out_i_ref[j, :] = best_idx + base
-        hit = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) == best_idx[None, :]
+        hit = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) == best_idx[:, None]
         scores = jnp.where(hit, _NEG, scores)
     # Rows padding k up to the 8-sublane tile carry the masked sentinel so
     # the global merge can never pick them.
     for j in range(k, k_pad):
-        out_s_ref[j, :] = jnp.full((scores.shape[1],), _NEG, jnp.float32)
-        out_i_ref[j, :] = jnp.full((scores.shape[1],), -1, jnp.int32)
+        out_s_ref[j, :] = jnp.full((scores.shape[0],), _NEG, jnp.float32)
+        out_i_ref[j, :] = jnp.full((scores.shape[0],), -1, jnp.int32)
 
 
 @functools.partial(
@@ -126,10 +129,10 @@ def masked_topk(
         queries.astype(table.dtype), ((0, qp - qn), (0, 0))
     )
     if mask is None:
-        mask_col = jnp.ones((n_pad, 1), jnp.float32)
+        mask_row = jnp.ones((1, n_pad), jnp.float32)
     else:
-        mask_col = jnp.pad(
-            mask.astype(jnp.float32).reshape(n, 1), ((0, n_pad - n), (0, 0))
+        mask_row = jnp.pad(
+            mask.astype(jnp.float32).reshape(1, n), ((0, 0), (0, n_pad - n))
         )
     if exclude is None:
         excl_row = jnp.full((1, qp), -1, jnp.int32)
@@ -158,7 +161,7 @@ def masked_topk(
         in_specs=[
             pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -171,7 +174,7 @@ def masked_topk(
             jax.ShapeDtypeStruct((nb * k_pad, qp), jnp.int32),
         ),
         interpret=interpret,
-    )(queries_p, table_p, mask_col, excl_row, head_arr)
+    )(queries_p, table_p, mask_row, excl_row, head_arr)
 
     # Exact global merge over nb*k candidates per query (tiny, XLA top_k).
     cand_s = block_s.T  # [qp, nb*k]

@@ -164,9 +164,18 @@ class Trainer:
         n_users: int,
         n_anime: int,
         initial_state: TrainState | None = None,
+        resume: bool = False,
     ) -> TrainResult:
+        """Train with early stopping; ``resume=True`` restores the latest
+        Orbax checkpoint under checkpoint_dir (epoch-level resume — a
+        capability the reference lacks, SURVEY.md §5.4)."""
         rng = jax.random.PRNGKey(self.seed)
         state = initial_state or self._init_state(rng, n_users, n_anime)
+        start_epoch = 0
+        if resume and self.checkpoint_dir is not None and initial_state is None:
+            restored = self._try_restore(state)
+            if restored is not None:
+                state, start_epoch = restored
 
         ckptr = None
         if self.checkpoint_dir is not None:
@@ -183,7 +192,7 @@ class Trainer:
         examples_seen = 0
         t0 = time.perf_counter()
 
-        for epoch in range(self.epochs):
+        for epoch in range(start_epoch, self.epochs):
             lr = jnp.float32(self.lr(epoch))
             # Device scalars are accumulated without host sync; the transfer
             # happens once per epoch so the step pipeline never stalls.
@@ -228,7 +237,9 @@ class Trainer:
                 best_bn = jax.tree.map(jnp.copy, state.bn_state)
                 bad_epochs = 0
                 if ckptr is not None:
-                    ckptr.save(epoch, TrainState(best_params, best_bn, state.opt_state))
+                    ckptr.save(
+                        epoch, TrainState(best_params, best_bn, state.opt_state)
+                    )
             else:
                 bad_epochs += 1
                 if bad_epochs >= self.patience:
@@ -267,3 +278,15 @@ class Trainer:
 
     def _eval_batch_size(self, n_rows: int) -> int:
         return min(self.batch_size, max(n_rows, 1))
+
+    def _try_restore(self, template: TrainState) -> tuple[TrainState, int] | None:
+        from anime_recommendations_tpu.train.checkpoint import AsyncCheckpointer
+
+        ckptr = AsyncCheckpointer(self.checkpoint_dir)
+        step = ckptr.latest_step()
+        if step is None:
+            return None
+        state = ckptr.restore(step, template=template)
+        if self.verbose:
+            self.log_fn(f"resumed from checkpoint epoch {step}")
+        return state, step + 1
