@@ -34,6 +34,13 @@ class RawData:
 def _read_any(path: Path) -> pd.DataFrame:
     if path.suffix == ".parquet":
         return pd.read_parquet(path)
+    if path.suffix == ".csv":
+        # Numeric rating dumps (the reference's 2 GB animelist.csv local
+        # path, download.py:99-119) go through the native parser; files
+        # with string columns fall back to pandas inside.
+        from anime_recommendations_tpu.data.fastcsv import read_numeric_csv
+
+        return read_numeric_csv(path)
     return pd.read_csv(path)
 
 

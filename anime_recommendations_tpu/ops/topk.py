@@ -116,6 +116,11 @@ def masked_topk(
     n, d = table.shape
     qn = queries.shape[0]
     block_rows = min(block_rows, _round_up(n, 8))
+    # VMEM guard: the unrolled k-loop keeps a few live [qp, B] f32 copies
+    # plus the double-buffered table block; clamp the block so scoped VMEM
+    # stays well under the ~16 MB budget (block 8192 at D=128 OOMs).
+    while block_rows > 512 and block_rows * d * 4 > 2 * 1024 * 1024:
+        block_rows //= 2
     if k > block_rows:
         raise ValueError(f"k={k} must be <= block_rows={block_rows}")
 
@@ -174,6 +179,12 @@ def masked_topk(
             jax.ShapeDtypeStruct((nb * k_pad, qp), jnp.int32),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # Blocks write disjoint outputs; a parallel grid lets Mosaic
+            # software-pipeline the next block's DMA behind this block's
+            # extraction loop.
+            dimension_semantics=("parallel",),
+        ),
     )(queries_p, table_p, mask_row, excl_row, head_arr)
 
     # Exact global merge over nb*k candidates per query (tiny, XLA top_k).

@@ -56,8 +56,15 @@ class RecContext:
         vocab: Vocab,
         catalog: Catalog,
         ratings: pd.DataFrame,
+        retrieval_dtype=None,
     ) -> "RecContext":
+        """``retrieval_dtype=jnp.bfloat16`` halves retrieval HBM traffic
+        (~1.5-2x faster scans) at ~1e-3 relative score error; default f32
+        keeps exact parity with the numpy oracle."""
         anime_norm, user_norm = normalized_tables(params)
+        if retrieval_dtype is not None:
+            anime_norm = anime_norm.astype(retrieval_dtype)
+            user_norm = user_norm.astype(retrieval_dtype)
         return cls(
             vocab=vocab,
             catalog=catalog,
