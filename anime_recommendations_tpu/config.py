@@ -86,6 +86,10 @@ class ModelConfig:
     vocab_shuffle_seed: int = 42
     split_shuffle_seed: int = 73
 
+    # Export normalized embedding tables as CSV artifacts after training
+    # (reference wandb_anime_weights.csv / wandb_user_weights.csv).
+    export_weight_csvs: bool = True
+
 
 @dataclass
 class ParallelConfig:

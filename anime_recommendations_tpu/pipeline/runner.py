@@ -215,6 +215,22 @@ class PipelineRunner:
             filename="anime_nn_history.csv", type="history_csv", index=True,
             metadata={"best_epoch": result.best_epoch},
         )
+        if mc.export_weight_csvs:
+            # Normalized weight tables as CSV artifacts (reference
+            # wandb_anime_weights.csv / wandb_user_weights.csv,
+            # config.yaml:81-84).
+            norms = np.linalg.norm(params.anime_emb, axis=1, keepdims=True)
+            self.store.log_frame(
+                "anime_weights.csv", pd.DataFrame(params.anime_emb / norms),
+                filename="anime_weights.csv", type="weights_csv",
+                metadata={"rows": vocab.n_anime},
+            )
+            norms = np.linalg.norm(params.user_emb, axis=1, keepdims=True)
+            self.store.log_frame(
+                "user_weights.csv", pd.DataFrame(params.user_emb / norms),
+                filename="user_weights.csv", type="weights_csv",
+                metadata={"rows": vocab.n_users},
+            )
         self._log_loss_plot(result.history, tmp)
         self._ctx = None  # force rebuild with the new model
 
