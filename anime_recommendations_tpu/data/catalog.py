@@ -79,10 +79,15 @@ class Catalog:
         except KeyError:
             return "None"
 
-    def resolve_query(self, name: str) -> int:
+    def resolve_query(self, name: str | int) -> int:
         """Resolve an anime name to its ID with the reference's 3-stage
         fallback (similar_anime.py:387-396): cleaned name as eng_version,
-        then raw Name, then cleaned-name column again."""
+        then raw Name, then cleaned-name column again. Integers are
+        treated as anime IDs directly (get_anime_frame int branch)."""
+        if isinstance(name, (int, np.integer)):
+            if int(name) not in self._by_id.index:
+                raise KeyError(f"Unknown anime id: {name}")
+            return int(name)
         translated = clean_name(name)
         hit = self.anime[self.anime["eng_version"] == translated]
         if len(hit) == 0:

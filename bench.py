@@ -120,7 +120,8 @@ def main() -> None:
         jax.block_until_ready((q1, q2))
         np.asarray(cosine_topk(Wd, q1, k=10)[0])
         np.asarray(cosine_topk(Wd, q2, k=10)[0])
-        per = np.inf
+        samples = []
+        fallback = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
             np.asarray(cosine_topk(Wd, q1, k=10)[0])
@@ -131,7 +132,10 @@ def main() -> None:
             b = cosine_topk(Wd, q2, k=10)
             np.asarray(b[0])
             two = time.perf_counter() - t0
-            per = min(per, max(two - rtt0, 1e-9))
+            fallback = min(fallback, two / 2)
+            if two > rtt0:  # RTT jitter can exceed the marginal call
+                samples.append(two - rtt0)
+        per = min(samples) if samples else fallback
         details[f"topk_user_{tag}_q256_qps"] = round(256 / per)
         details[f"topk_user_{tag}_q256_ms"] = round(per * 1e3, 3)
 

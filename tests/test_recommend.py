@@ -242,3 +242,12 @@ def test_model_recs_type_filter(ctx):
     uid = int(ctx.vocab.user_ids[4])
     frame, _ = model_recs(ctx, uid, n_recs=10, types=["TV", "Movie"])
     assert set(frame["Type"]) <= {"TV", "Movie"}
+
+
+def test_similar_anime_by_id(ctx):
+    aid = int(ctx.catalog.anime["anime_id"].iloc[4])
+    frame, fn, _ = similar_anime(ctx, aid, count=3)
+    assert len(frame) == 3
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        similar_anime(ctx, 99999999, count=3)
