@@ -181,6 +181,9 @@ class MainConfig:
     random_seed: int = 42
     raise_flow_error: bool = True
     run_dir: str = "runs"
+    # Resume training from the latest Orbax checkpoint in the run dir
+    # (epoch-level resume — a capability the reference lacks).
+    resume_training: bool = False
 
 
 @dataclass

@@ -174,7 +174,10 @@ class PipelineRunner:
             from anime_recommendations_tpu.train.trainer import Trainer
 
             trainer = Trainer(**common)
-        result = trainer.fit(train, holdout, vocab.n_users, vocab.n_anime)
+        result = trainer.fit(
+            train, holdout, vocab.n_users, vocab.n_anime,
+            resume=self.cfg.main.resume_training,
+        )
 
         # Model + vocab + history + loss plot artifacts.
         tmp = self.run_dir / "tmp"
