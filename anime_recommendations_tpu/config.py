@@ -90,6 +90,11 @@ class ModelConfig:
     # (reference wandb_anime_weights.csv / wandb_user_weights.csv).
     export_weight_csvs: bool = True
 
+    # Run each training epoch as one device program (data resident on
+    # device, device-side shuffle) — much lower host overhead. Single-chip
+    # trainer only; the sharded trainer ignores it for now.
+    device_loop: bool = True
+
 
 @dataclass
 class ParallelConfig:

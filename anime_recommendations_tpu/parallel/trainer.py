@@ -41,6 +41,9 @@ class ShardedTrainer(Trainer):
     scale_lr_by_data_shards: bool = False
 
     def __post_init__(self):
+        # Device-resident epoch scan is single-chip-only for now (the scan
+        # body would need to nest the shard_map step; planned).
+        self.device_loop = False
         self.mesh = make_mesh(self.data_axis, self.model_axis)
         self._n_model = self.mesh.shape[MODEL_AXIS]
         self._n_data = self.mesh.shape["data"]

@@ -1,0 +1,130 @@
+"""Device-resident epoch loop: one launch per epoch via lax.scan.
+
+The per-step path (train/trainer.py) launches one XLA program per batch;
+host dispatch then bounds throughput (~1 ms/launch in remote-attached
+environments, ~50-100 us even on a co-located TPU VM). Here the training
+data lives ON DEVICE for the whole run and each epoch is ONE program:
+
+  perm = jax.random.permutation(key, n_padded)       # device-side shuffle
+  scan over batches: gather rows by perm slice -> train_step math
+
+Padding rows (to a batch multiple) carry weight 0, so they are exact
+no-ops in the loss, metrics and BatchNorm statistics — epochs are the same
+math as the per-step path, only the shuffle's RNG differs (jax PRNG
+instead of numpy).
+
+The scan carries the full TrainState through jit with donated buffers:
+tables never round-trip to the host; per-batch losses come back as one
+[n_batches] array per epoch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from anime_recommendations_tpu.data.dataset import RatingsDataset
+from anime_recommendations_tpu.models.two_tower import loss_and_metrics
+from anime_recommendations_tpu.train.trainer import TrainState, make_optimizer
+
+
+class DeviceData(NamedTuple):
+    users: jax.Array    # [n_pad] int32
+    anime: jax.Array    # [n_pad] int32
+    ratings: jax.Array  # [n_pad] f32
+    weights: jax.Array  # [n_pad] f32; 0 marks padding
+
+    @property
+    def n(self) -> int:
+        return self.users.shape[0]
+
+
+def stage(ds: RatingsDataset, batch_size: int) -> DeviceData:
+    """Upload a dataset once, padded to a batch multiple with weight-0 rows."""
+    n = len(ds)
+    n_pad = -(-max(n, 1) // batch_size) * batch_size
+    pad = n_pad - n
+    return DeviceData(
+        users=jax.device_put(jnp.asarray(np.pad(ds.users, (0, pad)), jnp.int32)),
+        anime=jax.device_put(jnp.asarray(np.pad(ds.anime, (0, pad)), jnp.int32)),
+        ratings=jax.device_put(jnp.asarray(np.pad(ds.ratings, (0, pad)), jnp.float32)),
+        weights=jax.device_put(
+            jnp.asarray(np.pad(np.ones(n, np.float32), (0, pad)), jnp.float32)
+        ),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "l2_reg_factor", "shuffle"),
+    donate_argnums=(0,),
+)
+def train_epoch(
+    state: TrainState,
+    data: DeviceData,
+    key: jax.Array,
+    lr: jax.Array,
+    batch_size: int,
+    l2_reg_factor: float,
+    shuffle: bool = True,
+) -> tuple[TrainState, jax.Array, jax.Array, jax.Array]:
+    """One full epoch on device. Returns (state, losses[nb], mses[nb], wsums[nb])."""
+    n = data.n
+    nb = n // batch_size
+    perm = jax.random.permutation(key, n) if shuffle else jnp.arange(n)
+
+    def body(state, i):
+        sel = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
+        users = data.users[sel]
+        anime = data.anime[sel]
+        ratings = data.ratings[sel]
+        weights = data.weights[sel]
+        (loss, (mse, new_bn)), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True
+        )(state.params, state.bn_state, users, anime, ratings, weights,
+          l2_reg_factor, True)
+        updates, new_opt = make_optimizer().update(
+            grads, state.opt_state, state.params
+        )
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bn, new_opt), (loss, mse, jnp.sum(weights))
+
+    state, (losses, mses, wsums) = jax.lax.scan(
+        body, state, jnp.arange(nb, dtype=jnp.int32)
+    )
+    return state, losses, mses, wsums
+
+
+@partial(jax.jit, static_argnames=("batch_size", "l2_reg_factor"))
+def eval_epoch(
+    params,
+    bn_state,
+    data: DeviceData,
+    batch_size: int,
+    l2_reg_factor: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Weighted-mean (loss, mse) over the staged holdout, one launch."""
+    nb = data.n // batch_size
+
+    def body(carry, i):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * batch_size, batch_size)
+        loss, (mse, _) = loss_and_metrics(
+            params, bn_state, sl(data.users), sl(data.anime), sl(data.ratings),
+            sl(data.weights), l2_reg_factor, False,
+        )
+        w = jnp.sum(sl(data.weights))
+        l_sum, m_sum, w_sum = carry
+        return (l_sum + loss * w, m_sum + mse * w, w_sum + w), None
+
+    (l_sum, m_sum, w_sum), _ = jax.lax.scan(
+        body, (jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        jnp.arange(nb, dtype=jnp.int32),
+    )
+    w = jnp.maximum(w_sum, 1.0)
+    return l_sum / w, m_sum / w

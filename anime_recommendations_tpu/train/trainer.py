@@ -128,6 +128,11 @@ class Trainer:
     verbose: bool = True
     checkpoint_dir: str | None = None
     log_fn: Any = field(default=print)
+    # Run each epoch as ONE device program (train/device_loop.py): data
+    # stays resident on device, shuffling is device-side, and host launch
+    # overhead is paid once per epoch instead of once per batch. Same math;
+    # only the shuffle's RNG differs from the per-step path.
+    device_loop: bool = False
 
     # ---- overridable backend hooks (ShardedTrainer overrides these) -----------
 
@@ -177,6 +182,14 @@ class Trainer:
             if restored is not None:
                 state, start_epoch = restored
 
+        staged = None
+        if self.device_loop:
+            from anime_recommendations_tpu.train import device_loop as dl
+
+            bs = min(self.batch_size, max(len(train), 1))
+            eval_bs = self._eval_batch_size(len(holdout))
+            staged = (dl.stage(train, bs), dl.stage(holdout, eval_bs), bs, eval_bs)
+
         ckptr = None
         if self.checkpoint_dir is not None:
             from anime_recommendations_tpu.train.checkpoint import AsyncCheckpointer
@@ -194,25 +207,46 @@ class Trainer:
 
         for epoch in range(start_epoch, self.epochs):
             lr = jnp.float32(self.lr(epoch))
-            # Device scalars are accumulated without host sync; the transfer
-            # happens once per epoch so the step pipeline never stalls.
-            losses, mses, bws = [], [], []
-            for batch in train.iter_batches(
-                self.batch_size,
-                shuffle=self.shuffle_each_epoch,
-                seed=self.seed * 1000 + epoch,
-            ):
-                state, loss, mse = self._train_step(state, batch, lr)
-                losses.append(loss)
-                mses.append(mse)
-                bws.append(batch.weights.sum())
-            bw_arr = np.asarray(bws, np.float64)
-            loss_sum = float(np.asarray(jnp.stack(losses)) @ bw_arr)
-            mse_sum = float(np.asarray(jnp.stack(mses)) @ bw_arr)
-            w_total = float(bw_arr.sum())
-            examples_seen += int(w_total)
+            if staged is not None:
+                from anime_recommendations_tpu.train import device_loop as dl
 
-            val_loss, val_mse = self.evaluate(state.params, state.bn_state, holdout)
+                train_data, holdout_data, bs, eval_bs = staged
+                key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+                state, ep_losses, ep_mses, ep_ws = dl.train_epoch(
+                    state, train_data, key, lr, bs, self.l2_reg_factor,
+                    shuffle=self.shuffle_each_epoch,
+                )
+                bw_arr = np.asarray(ep_ws, np.float64)
+                loss_sum = float(np.asarray(ep_losses) @ bw_arr)
+                mse_sum = float(np.asarray(ep_mses) @ bw_arr)
+                w_total = float(bw_arr.sum())
+                vl, vm = dl.eval_epoch(
+                    state.params, state.bn_state, holdout_data, eval_bs,
+                    self.l2_reg_factor,
+                )
+                val_loss, val_mse = float(vl), float(vm)
+            else:
+                # Device scalars are accumulated without host sync; the
+                # transfer happens once per epoch so the step pipeline
+                # never stalls.
+                losses, mses, bws = [], [], []
+                for batch in train.iter_batches(
+                    self.batch_size,
+                    shuffle=self.shuffle_each_epoch,
+                    seed=self.seed * 1000 + epoch,
+                ):
+                    state, loss, mse = self._train_step(state, batch, lr)
+                    losses.append(loss)
+                    mses.append(mse)
+                    bws.append(batch.weights.sum())
+                bw_arr = np.asarray(bws, np.float64)
+                loss_sum = float(np.asarray(jnp.stack(losses)) @ bw_arr)
+                mse_sum = float(np.asarray(jnp.stack(mses)) @ bw_arr)
+                w_total = float(bw_arr.sum())
+                val_loss, val_mse = self.evaluate(
+                    state.params, state.bn_state, holdout
+                )
+            examples_seen += int(w_total)
             rows.append(
                 {
                     "loss": loss_sum / max(w_total, 1.0),
