@@ -31,9 +31,6 @@ part (d).
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -137,7 +134,6 @@ class ShardedTrainStep:
 
     def _forward_local(self, params, users, anime, weights, bn_stats):
         """Per-shard forward to predictions; bn_stats None -> use batch stats."""
-        model_sharded_user = True
         u_rows = _sharded_lookup(params.user_emb, users, MODEL_AXIS)
         if self.shard_anime:
             a_rows = _sharded_lookup(params.anime_emb, anime, MODEL_AXIS)

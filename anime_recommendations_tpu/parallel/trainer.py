@@ -15,8 +15,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax
-
 from anime_recommendations_tpu.parallel.mesh import (
     MODEL_AXIS,
     make_mesh,

@@ -137,3 +137,30 @@ def test_batched_queries_independent(table):
     for row, qi in enumerate(range(1, 10)):
         ref_v, _ = oracle_topk(table @ table[qi], 3)
         np.testing.assert_allclose(np.asarray(vals)[row], ref_v, rtol=1e-5)
+
+
+def test_topk_k1_and_tiny_table():
+    tab = normed(np.random.default_rng(5).normal(size=(12, 16)).astype(np.float32))
+    vals, idx = cosine_topk(jnp.asarray(tab), jnp.asarray(tab[[3]]), k=1, block_rows=128)
+    assert np.asarray(idx)[0, 0] == 3  # self is its own best match
+    vals, idx = cosine_topk(jnp.asarray(tab), jnp.asarray(tab[[3]]), k=12, block_rows=128)
+    assert sorted(np.asarray(idx)[0].tolist()) == list(range(12))
+
+
+def test_topk_large_k_across_blocks():
+    rng = np.random.default_rng(6)
+    tab = normed(rng.normal(size=(600, 32)).astype(np.float32))
+    vals, idx = cosine_topk(jnp.asarray(tab), jnp.asarray(tab[[0]]), k=50, block_rows=128)
+    ref = np.sort(tab @ tab[0])[::-1][:50]
+    np.testing.assert_allclose(np.asarray(vals)[0], ref, rtol=1e-5)
+
+
+def test_topk_bf16_table_close_to_f32(table):
+    q = table[[9]]
+    v32, i32 = cosine_topk(jnp.asarray(table), jnp.asarray(q), k=5, block_rows=128)
+    v16, i16 = cosine_topk(
+        jnp.asarray(table, dtype=jnp.bfloat16),
+        jnp.asarray(q, dtype=jnp.bfloat16), k=5, block_rows=128,
+    )
+    np.testing.assert_allclose(np.asarray(v16)[0], np.asarray(v32)[0], atol=2e-2)
+    assert len(set(np.asarray(i16)[0]) & set(np.asarray(i32)[0])) >= 3

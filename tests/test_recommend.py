@@ -251,3 +251,35 @@ def test_similar_anime_by_id(ctx):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         similar_anime(ctx, 99999999, count=3)
+
+
+def test_fave_anime_percent_tiebreak(ratings_frame, anime_catalog_frame, synopses_frame):
+    """watched_episodes tie-break (similar_users.py:234-242): among equally
+    max-rated anime, the highest percent-watched wins."""
+    import pandas as pd
+    from anime_recommendations_tpu.recommend.similar_users import get_fave_anime
+    from anime_recommendations_tpu.recommend.context import RecContext
+    from anime_recommendations_tpu.data.catalog import Catalog
+    from anime_recommendations_tpu.data.vocab import build_vocab, encode_frame
+    from anime_recommendations_tpu.models import two_tower as tt
+
+    catalog = Catalog.from_frames(anime_catalog_frame, synopses_frame)
+    aid = catalog.anime["anime_id"]
+    eps = pd.to_numeric(catalog.anime["Episodes"], errors="coerce")
+    two = catalog.anime[eps >= 10].iloc[:2]
+    a1, a2 = int(two["anime_id"].iloc[0]), int(two["anime_id"].iloc[1])
+    e1, e2 = float(eps[two.index[0]]), float(eps[two.index[1]])
+    df = pd.DataFrame({
+        "user_id": [1, 1],
+        "anime_id": [a1, a2],
+        "rating": [1.0, 1.0],                    # tied max rating
+        "watched_episodes": [e1, e2 * 0.2],      # a1 fully watched
+        "watching_status": [2, 2],
+    })
+    vocab = build_vocab(df)
+    enc = encode_frame(df, vocab)
+    params = tt.init_params(jax.random.PRNGKey(0), 1, 2, 8)
+    ctx = RecContext.build(params, tt.init_bn_state(), vocab, catalog, enc)
+    fave = get_fave_anime(ctx, 1, num_faves=2, TV_only=False)
+    # Only the 100%-watched anime survives the percent filter.
+    assert catalog.name_of(a1) in fave and catalog.name_of(a2) not in fave
