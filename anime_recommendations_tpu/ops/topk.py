@@ -111,6 +111,8 @@ def masked_topk(
     out / excluded / beyond N can only appear when fewer than k valid rows
     exist; they carry score <= -1e30.
     """
+    if use_head and head is None:
+        raise ValueError("use_head=True requires a head=(alpha, beta) array")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, d = table.shape
