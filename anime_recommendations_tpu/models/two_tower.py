@@ -89,6 +89,39 @@ def _l2_normalize(x: jax.Array) -> jax.Array:
     return x * jax.lax.rsqrt(jnp.maximum(sq, TF_L2_NORM_EPS))
 
 
+@jax.custom_vjp
+def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Embedding-row gather whose backward scatter-adds with SORTED indices.
+
+    TPU scatter with random row order runs at ~40% of streaming bandwidth
+    (NOTES_PERF.md); sorting the batch indices first lets XLA take the
+    sorted-scatter path. Summation order over duplicate rows changes
+    (sorted instead of batch order) — identical math up to f32 rounding.
+
+    NOT wired into forward() yet: in this build environment the
+    remote-compile helper hangs on sort-inside-scan programs
+    (NOTES_PERF.md gotchas), so the default path keeps plain indexing;
+    flip forward() to take_rows on a co-located TPU VM and re-measure.
+    """
+    return table[idx]
+
+
+def _take_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape)
+
+
+def _take_rows_bwd(res, g):
+    idx, shape = res
+    order = jnp.argsort(idx)
+    d_table = jnp.zeros(shape, g.dtype).at[idx[order]].add(
+        g[order], indices_are_sorted=True, unique_indices=False
+    )
+    return d_table, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def cosine_merge(u_rows: jax.Array, a_rows: jax.Array) -> jax.Array:
     """Dot(normalize=True, axes=2): rowwise cosine similarity. [B,D]x[B,D]->[B]."""
     return jnp.sum(_l2_normalize(u_rows) * _l2_normalize(a_rows), axis=-1)
