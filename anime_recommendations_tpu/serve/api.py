@@ -89,6 +89,20 @@ class Engine:
                               genres=genres)
         return _records(frame)
 
+    def similar_anime_batch(self, names: list, k: int = 10, types=None,
+                            genres=None):
+        from anime_recommendations_tpu.recommend.batch import similar_anime_batch
+
+        return similar_anime_batch(self.ctx, names, count=k, types=types,
+                                   genres=genres)
+
+    def model_recs_batch(self, user_ids: list[int], k: int = 10, types=None,
+                         genres=None):
+        from anime_recommendations_tpu.recommend.batch import model_recs_batch
+
+        return model_recs_batch(self.ctx, user_ids, n_recs=k, types=types,
+                                genres=genres)
+
 
 def _make_handler(engine: Engine):
     class Handler(BaseHTTPRequestHandler):
@@ -141,6 +155,17 @@ def _make_handler(engine: Engine):
             if path == "/model_recs":
                 return engine.model_recs(
                     int(q["user_id"]), k=int(q.get("k", 10)),
+                    types=listy("types"), genres=listy("genres"),
+                )
+            if path == "/similar_anime_batch":
+                return engine.similar_anime_batch(
+                    q["names"].split("|"), k=int(q.get("k", 10)),
+                    types=listy("types"), genres=listy("genres"),
+                )
+            if path == "/model_recs_batch":
+                return engine.model_recs_batch(
+                    [int(u) for u in q["user_ids"].split(",")],
+                    k=int(q.get("k", 10)),
                     types=listy("types"), genres=listy("genres"),
                 )
             raise KeyError(path)

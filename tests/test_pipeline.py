@@ -196,3 +196,34 @@ def test_http_api(finished_run):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_http_batch_endpoints(finished_run):
+    import json as _json
+    import threading as _threading
+    import urllib.request as _rq
+
+    from anime_recommendations_tpu.serve.api import make_server
+
+    ctx = finished_run.context()
+    server = make_server(ctx, finished_run.cfg, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    _threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        uids = ",".join(str(int(u)) for u in ctx.vocab.user_ids[:3])
+        with _rq.urlopen(
+            f"http://127.0.0.1:{port}/model_recs_batch?user_ids={uids}&k=3"
+        ) as r:
+            out = _json.loads(r.read())
+        assert len(out) == 3 and all(len(rec["names"]) <= 3 for rec in out)
+
+        names = "|".join(
+            _rq.quote(n) for n in ctx.catalog.anime["Name"].iloc[:2]
+        )
+        with _rq.urlopen(
+            f"http://127.0.0.1:{port}/similar_anime_batch?names={names}&k=2"
+        ) as r:
+            out = _json.loads(r.read())
+        assert len(out) == 2
+    finally:
+        server.shutdown()
