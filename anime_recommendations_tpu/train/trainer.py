@@ -133,6 +133,11 @@ class Trainer:
     # overhead is paid once per epoch instead of once per batch. Same math;
     # only the shuffle's RNG differs from the per-step path.
     device_loop: bool = False
+    # Sorted-scatter embedding VJP in the device loop ("user" = big table
+    # only, True = both, False = plain). Changes only f32 summation order
+    # over duplicate in-batch ids; "user" measured +20% step throughput
+    # (NOTES_PERF.md).
+    sorted_scatter: bool | str = "user"
 
     # ---- overridable backend hooks (ShardedTrainer overrides these) -----------
 
@@ -215,6 +220,7 @@ class Trainer:
                 state, ep_losses, ep_mses, ep_ws = dl.train_epoch(
                     state, train_data, key, lr, bs, self.l2_reg_factor,
                     shuffle=self.shuffle_each_epoch,
+                    sorted_scatter=self.sorted_scatter,
                 )
                 bw_arr = np.asarray(ep_ws, np.float64)
                 loss_sum = float(np.asarray(ep_losses) @ bw_arr)

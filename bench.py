@@ -88,13 +88,16 @@ def main() -> None:
     data = dl.stage(ds, batch)
     state2 = init_train_state(jax.random.PRNGKey(1), n_users, n_anime, d)
     key = jax.random.PRNGKey(0)
-    state2, losses, _, _ = dl.train_epoch(state2, data, key, lr, batch, l2)
+    state2, losses, _, _ = dl.train_epoch(
+        state2, data, key, lr, batch, l2, sorted_scatter="user"
+    )
     float(losses[-1])
     seg = []
     for rep in range(3):
         t0 = time.perf_counter()
         state2, losses, _, _ = dl.train_epoch(
-            state2, data, jax.random.fold_in(key, rep), lr, batch, l2
+            state2, data, jax.random.fold_in(key, rep), lr, batch, l2,
+            sorted_scatter="user",
         )
         float(losses[-1])
         seg.append(time.perf_counter() - t0)

@@ -153,3 +153,27 @@ def test_normalized_tables_rows_unit_norm(tiny_params):
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(user_w), axis=1), 1.0, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("mode", [True, "user"])
+def test_sorted_scatter_grads_match_plain(tiny_params, mode):
+    # The sorted-scatter VJP reorders only the f32 summation over duplicate
+    # in-batch ids; gradients must match the plain-gather path numerically.
+    bn = tt.init_bn_state()
+    rng = np.random.default_rng(3)
+    b = 64
+    users = jnp.asarray(rng.integers(0, 50, b), jnp.int32)   # many duplicates
+    anime = jnp.asarray(rng.integers(0, 30, b), jnp.int32)
+    ratings = jnp.asarray(rng.uniform(0, 1, b), jnp.float32)
+    weights = jnp.ones(b, jnp.float32)
+
+    def grads(sorted_scatter):
+        (_, _), g = jax.value_and_grad(tt.loss_and_metrics, has_aux=True)(
+            tiny_params, bn, users, anime, ratings, weights, 1e-4, True,
+            sorted_scatter,
+        )
+        return g
+
+    g0, g1 = grads(False), grads(mode)
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
