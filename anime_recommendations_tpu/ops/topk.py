@@ -123,6 +123,12 @@ def masked_topk(
     # stays well under the ~16 MB budget (block 8192 at D=128 OOMs).
     while block_rows > 512 and block_rows * d * 4 > 2 * 1024 * 1024:
         block_rows //= 2
+    # Single-block grids gain nothing from the Pallas pipeline (no DMA to
+    # overlap) and pay a full Mosaic compile — on remote-attached TPUs that
+    # compile can queue for minutes behind other tenants. XLA fuses the
+    # equivalent matmul + mask + top_k directly at this size.
+    if n <= block_rows and not interpret:
+        return _xla_topk(table, queries, k, mask, exclude, head, use_head)
     if k > block_rows:
         raise ValueError(f"k={k} must be <= block_rows={block_rows}")
 
@@ -195,6 +201,44 @@ def masked_topk(
     top_s, pos = jax.lax.top_k(cand_s, k)
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
     return top_s[:qn], top_i[:qn]
+
+
+def _xla_topk(
+    table: jax.Array,
+    queries: jax.Array,
+    k: int,
+    mask: jax.Array | None,
+    exclude: jax.Array | None,
+    head: jax.Array | None,
+    use_head: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense masked top-k with the exact semantics of the kernel path, for
+    tables small enough that the Pallas grid would be a single block."""
+    n, _ = table.shape
+    qn = queries.shape[0]
+    f32_inputs = table.dtype == jnp.float32
+    scores = jax.lax.dot_general(
+        queries.astype(table.dtype), table,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(
+            jax.lax.Precision.HIGHEST if f32_inputs else jax.lax.Precision.DEFAULT
+        ),
+    )  # [Qn, N]
+    if use_head:
+        scores = jax.nn.sigmoid(head[0] * scores + head[1])
+    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    valid = jnp.ones(scores.shape, bool)
+    if mask is not None:
+        valid &= (mask.astype(jnp.float32) > 0.0)[None, :]
+    if exclude is not None:
+        valid &= rows != exclude.astype(jnp.int32)[:, None]
+    scores = jnp.where(valid, scores, _NEG)
+    top_s, top_i = jax.lax.top_k(scores, min(k, n))
+    if k > n:  # pad out to k with sentinels, matching the kernel contract
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - n)), constant_values=_NEG)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - n)), constant_values=-1)
+    return top_s[:qn], top_i[:qn].astype(jnp.int32)
 
 
 def cosine_topk(

@@ -280,12 +280,31 @@ class PipelineRunner:
 
     # ---- retrieval steps ------------------------------------------------------
 
+    def _is_synthetic_run(self) -> bool:
+        """True when ingest fell back to the synthetic dataset (its artifact
+        records source=synthetic). Configured query names/IDs target the real
+        MyAnimeList data and cannot resolve against a synthetic catalog."""
+        try:
+            art = self.store.get("full_data_set.parquet:latest")
+            return art.metadata.get("source") == "synthetic"
+        except Exception:
+            return False
+
     def step_similar_anime(self) -> None:
         sc = self.cfg.similarity
         ctx = self.context()
         name = (
             ctx.random_anime_name(self._rng) if sc.random_anime else sc.anime_query
         )
+        if not sc.random_anime and self._is_synthetic_run():
+            try:
+                ctx.catalog.resolve_query(name)
+            except KeyError:
+                name = ctx.random_anime_name(self._rng)
+                logger.warning(
+                    "configured anime_query %r not in the synthetic catalog; "
+                    "querying random anime %r instead", sc.anime_query, name,
+                )
         frame, fn, translated = similar_anime(
             ctx,
             name,
@@ -305,6 +324,16 @@ class PipelineRunner:
             ctx.random_user(self._rng)
             if uc.sim_random_user else int(uc.sim_user_query)
         )
+        if (
+            not uc.sim_random_user
+            and ctx.vocab.encode_users(np.asarray([user_id]))[0] < 0
+            and self._is_synthetic_run()
+        ):
+            user_id = ctx.random_user(self._rng)
+            logger.warning(
+                "configured sim_user_query %s not in the synthetic vocab; "
+                "querying random user %s instead", uc.sim_user_query, user_id,
+            )
         frame, fn, user_id = similar_users(
             ctx, user_id,
             n_users=uc.id_query_number,

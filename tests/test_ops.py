@@ -164,3 +164,27 @@ def test_topk_bf16_table_close_to_f32(table):
     )
     np.testing.assert_allclose(np.asarray(v16)[0], np.asarray(v32)[0], atol=2e-2)
     assert len(set(np.asarray(i16)[0]) & set(np.asarray(i32)[0])) >= 3
+
+
+def test_small_table_xla_path_matches_kernel_path():
+    # n <= block_rows + interpret=False routes to the dense XLA path (on
+    # remote TPUs a single-block Mosaic compile can queue for minutes);
+    # both paths must agree exactly.
+    rng = np.random.default_rng(11)
+    W = rng.standard_normal((100, 32)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=1, keepdims=True)
+    q = W[:5]
+    mask = rng.uniform(size=100) > 0.4
+    excl = np.arange(5, dtype=np.int32)
+    kw = dict(mask=jnp.asarray(mask), exclude=jnp.asarray(excl))
+    v_x, i_x = masked_topk(jnp.asarray(W), jnp.asarray(q), 7,
+                           interpret=False, **kw)
+    v_k, i_k = masked_topk(jnp.asarray(W), jnp.asarray(q), 7,
+                           interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_k))
+    np.testing.assert_allclose(np.asarray(v_x), np.asarray(v_k), rtol=1e-6)
+    # k > n pads with sentinels instead of erroring.
+    v_p, i_p = masked_topk(jnp.asarray(W[:4]), jnp.asarray(q), 6,
+                           interpret=False)
+    assert np.asarray(i_p).shape == (5, 6)
+    assert (np.asarray(i_p)[:, 4:] == -1).all()
