@@ -1,0 +1,249 @@
+"""Pallas kernel: fused sparse-gradient scatter + L2 decay + Adam update.
+
+Replaces the two dominant fusions of the embedding-table update (profiled in
+NOTES_PERF.md): XLA materializes a dense gradient via random-row scatter-add
+(~200-290 GB/s) and then re-streams grad+mu+nu+W for Adam. Here ONE pass
+over the table does everything:
+
+    for each row-block of the table (grid, double-buffered):
+        d      = scatter(batch row-grads landing in this block)   # MXU
+        g      = d + 2*l2*W                                       # decay
+        mu'    = b1*mu + (1-b1)*g
+        nu'    = b2*nu + (1-b2)*g^2
+        W'     = W - lr * (mu'/bc1) / (sqrt(nu'/bc2) + eps)       # Adam
+        sumsq += sum(W^2)            # pre-update, for the loss's reg term
+
+HBM traffic per table: read W,mu,nu + write W,mu,nu (6 passes) — the
+speed-of-light floor for Adam — versus 8+ passes with a separately
+materialized dense grad. The scatter itself never touches HBM: batch
+row-grads (sorted by row id) live in VMEM and land in the block via chunked
+one-hot matmuls on the MXU, so random-row writes disappear entirely.
+
+The scatter matmul runs in two bf16 passes (g split into hi + lo parts,
+one-hot is exact in bf16), giving ~2^-17 relative accuracy vs the exact f32
+scatter-add; ``precision="highest"`` switches to a single HIGHEST-precision
+f32 dot for bit-level comparisons.
+
+Semantics match optax.scale_by_adam (b1/b2/eps, bias correction by step
+count) + the trainer's -lr scale + the analytic gradient 2*l2*W of the
+full-table L2 regularizer (models/two_tower.py loss_and_metrics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_ROWS = 512
+DEFAULT_CHUNK = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fused_adam_kernel(
+    # scalar prefetch
+    starts_ref,   # [nb+1] i32: sorted-batch offset where each block begins
+    scal_ref,     # [8] f32: lr, bc1, bc2, eps, l2, b1, b2, (pad)
+    # inputs
+    w_ref,        # [R, D] table block
+    mu_ref,       # [R, D]
+    nu_ref,       # [R, D]
+    ids_ref,      # [1, Bp+C] i32 sorted row ids (padded with -2^20)
+    g_ref,        # [Bp+C, D] f32 row grads in sorted order (zero-padded)
+    # outputs (aliased onto w/mu/nu inputs)
+    w_out_ref,
+    mu_out_ref,
+    nu_out_ref,
+    sumsq_ref,    # [1, 1] f32 accumulated sum of squares (pre-update)
+    *,
+    block_rows: int,
+    chunk: int,
+    d: int,
+    highest: bool,
+):
+    i = pl.program_id(0)
+    base = i * block_rows
+
+    w = w_ref[:]
+
+    # Single (1,1) accumulator revisited by every grid step (sequential grid).
+    @pl.when(i == 0)
+    def _():
+        sumsq_ref[0, 0] = 0.0
+
+    sumsq_ref[0, 0] += jnp.sum(w * w)
+
+    # --- scatter batch row-grads into this block (VMEM + MXU only) ---------
+    # Chunks are aligned to `chunk` boundaries; rows outside this block's id
+    # range fall out of the one-hot automatically, which also handles the
+    # (shared) boundary chunks of adjacent blocks.
+    c0 = starts_ref[i] // chunk
+    c1 = (starts_ref[i + 1] + chunk - 1) // chunk
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_rows, chunk), 0)
+
+    def chunk_body(c, acc):
+        off = c * chunk
+        ids_c = ids_ref[0, pl.ds(off, chunk)]            # [C]
+        g_c = g_ref[pl.ds(off, chunk), :]                # [C, D]
+        local = ids_c - base                             # [-..] outside block
+        onehot = (local[None, :] == row_iota).astype(
+            jnp.float32 if highest else jnp.bfloat16
+        )                                                # [R, C] exact 0/1
+        if highest:
+            acc = acc + jax.lax.dot_general(
+                onehot, g_c,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            g_hi = g_c.astype(jnp.bfloat16)
+            g_lo = (g_c - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            for part in (g_hi, g_lo):
+                acc = acc + jax.lax.dot_general(
+                    onehot, part,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        return acc
+
+    dscat = jax.lax.fori_loop(
+        c0, c1, chunk_body, jnp.zeros((block_rows, d), jnp.float32)
+    )
+
+    # --- decay + Adam -------------------------------------------------------
+    lr = scal_ref[0]
+    bc1 = scal_ref[1]
+    bc2 = scal_ref[2]
+    eps = scal_ref[3]
+    l2 = scal_ref[4]
+    b1 = scal_ref[5]
+    b2 = scal_ref[6]
+
+    g = dscat + (2.0 * l2) * w
+    mu = b1 * mu_ref[:] + (1.0 - b1) * g
+    nu = b2 * nu_ref[:] + (1.0 - b2) * (g * g)
+    update = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+    w_out_ref[:] = w - lr * update
+    mu_out_ref[:] = mu
+    nu_out_ref[:] = nu
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_rows", "chunk", "precision", "interpret"),
+)
+def sparse_adam_update(
+    w: jax.Array,           # [N, D] f32 table
+    mu: jax.Array,          # [N, D] f32 Adam first moment
+    nu: jax.Array,          # [N, D] f32 Adam second moment
+    ids: jax.Array,         # [B] i32 row id per batch example (unsorted)
+    g_rows: jax.Array,      # [B, D] f32 gradient w.r.t. the gathered rows
+    step: jax.Array,        # [] i32/f32 Adam step count AFTER this update (t >= 1)
+    lr: jax.Array,          # [] f32
+    l2: float | jax.Array = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-7,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    chunk: int = DEFAULT_CHUNK,
+    precision: str = "fast",        # "fast" (2x bf16) | "highest" (f32)
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One fused sparse-Adam step. Returns (w', mu', nu', sumsq(w_before)).
+
+    Equivalent to::
+
+        dense = zeros_like(w).at[ids].add(g_rows) + 2*l2*w
+        mu' = b1*mu + (1-b1)*dense; nu' = b2*nu + (1-b2)*dense**2
+        w' = w - lr * (mu'/(1-b1**t)) / (sqrt(nu'/(1-b2**t)) + eps)
+
+    but with one HBM pass over (w, mu, nu) and no dense-gradient round-trip.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, d = w.shape
+    b = ids.shape[0]
+
+    n_pad = _round_up(n, block_rows)
+    nb = n_pad // block_rows
+    pad_n = n_pad - n
+    if pad_n:
+        zeros = jnp.zeros((pad_n, d), w.dtype)
+        w = jnp.concatenate([w, zeros])
+        mu = jnp.concatenate([mu, zeros])
+        nu = jnp.concatenate([nu, zeros])
+
+    # Sort the batch by row id so each block owns a contiguous segment.
+    order = jnp.argsort(ids)
+    ids_s = ids[order].astype(jnp.int32)
+    g_s = g_rows[order]
+    b_pad = _round_up(b, chunk) + chunk
+    ids_s = jnp.pad(ids_s, (0, b_pad - b), constant_values=-(2 ** 20))
+    g_s = jnp.pad(g_s, ((0, b_pad - b), (0, 0)))
+
+    # Per-block segment starts over the sorted ids (scalar-prefetched).
+    bounds = jnp.arange(0, n_pad + 1, block_rows, dtype=jnp.int32)
+    starts = jnp.searchsorted(ids_s[:b], bounds, side="left").astype(jnp.int32)
+
+    t = step.astype(jnp.float32)
+    scal = jnp.stack([
+        jnp.asarray(lr, jnp.float32),
+        1.0 - jnp.float32(b1) ** t,
+        1.0 - jnp.float32(b2) ** t,
+        jnp.float32(eps),
+        jnp.asarray(l2, jnp.float32),
+        jnp.float32(b1),
+        jnp.float32(b2),
+        jnp.float32(0.0),
+    ])
+
+    kernel = functools.partial(
+        _fused_adam_kernel,
+        block_rows=block_rows,
+        chunk=chunk,
+        d=d,
+        highest=(precision == "highest"),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+        ),
+    )
+    w2, mu2, nu2, sumsq = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        # w/mu/nu update in place: tensor-input k (after the 2 scalar-prefetch
+        # args) aliases output k.
+        input_output_aliases={2: 0, 3: 1, 4: 2},
+        interpret=interpret,
+    )(starts, scal, w, mu, nu, ids_s.reshape(1, -1), g_s)
+
+    if pad_n:
+        w2, mu2, nu2 = w2[:n], mu2[:n], nu2[:n]
+    return w2, mu2, nu2, sumsq[0, 0]

@@ -133,11 +133,11 @@ class Trainer:
     # overhead is paid once per epoch instead of once per batch. Same math;
     # only the shuffle's RNG differs from the per-step path.
     device_loop: bool = False
-    # Sorted-scatter embedding VJP in the device loop ("user" = big table
-    # only, True = both, False = plain). Changes only f32 summation order
-    # over duplicate in-batch ids; "user" measured +20% step throughput
-    # (NOTES_PERF.md).
-    sorted_scatter: bool | str = "user"
+    # Sorted-scatter embedding VJP in the device loop (True = both tables,
+    # "user" = big table only, False = plain). Changes only f32 summation
+    # order over duplicate in-batch ids; measured +27% step throughput
+    # combined with the granule shuffle (NOTES_PERF.md).
+    sorted_scatter: bool | str = True
 
     # ---- overridable backend hooks (ShardedTrainer overrides these) -----------
 
@@ -193,7 +193,12 @@ class Trainer:
 
             bs = min(self.batch_size, max(len(train), 1))
             eval_bs = self._eval_batch_size(len(holdout))
-            staged = (dl.stage(train, bs), dl.stage(holdout, eval_bs), bs, eval_bs)
+            stage_seed = self.seed if self.shuffle_each_epoch else None
+            staged = (
+                dl.stage(train, bs, seed=stage_seed),
+                dl.stage(holdout, eval_bs),
+                bs, eval_bs,
+            )
 
         ckptr = None
         if self.checkpoint_dir is not None:

@@ -85,11 +85,11 @@ def main() -> None:
         anime=rng.integers(0, n_anime, n_rows).astype(np.int32),
         ratings=rng.uniform(0, 1, n_rows).astype(np.float32),
     )
-    data = dl.stage(ds, batch)
+    data = dl.stage(ds, batch, seed=0)
     state2 = init_train_state(jax.random.PRNGKey(1), n_users, n_anime, d)
     key = jax.random.PRNGKey(0)
     state2, losses, _, _ = dl.train_epoch(
-        state2, data, key, lr, batch, l2, sorted_scatter="user"
+        state2, data, key, lr, batch, l2, sorted_scatter=True
     )
     float(losses[-1])
     seg = []
@@ -97,7 +97,7 @@ def main() -> None:
         t0 = time.perf_counter()
         state2, losses, _, _ = dl.train_epoch(
             state2, data, jax.random.fold_in(key, rep), lr, batch, l2,
-            sorted_scatter="user",
+            sorted_scatter=True,
         )
         float(losses[-1])
         seg.append(time.perf_counter() - t0)
