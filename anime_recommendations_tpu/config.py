@@ -94,6 +94,10 @@ class ModelConfig:
     # device, device-side shuffle) — much lower host overhead. Single-chip
     # trainer only; the sharded trainer ignores it for now.
     device_loop: bool = True
+    # "adam" (exact Keras parity) or "lazy_adam" (row-sparse Adam: only
+    # batch-touched embedding rows get moments/decay/updates — faster at
+    # scale, standard production-recommender semantics).
+    optimizer: str = "adam"
 
 
 @dataclass

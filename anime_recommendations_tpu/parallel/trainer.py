@@ -39,6 +39,7 @@ class ShardedTrainer(Trainer):
     scale_lr_by_data_shards: bool = False
 
     def __post_init__(self):
+        super().__post_init__()  # optimizer validation
         # Device-resident epoch scan is single-chip-only for now (the scan
         # body would need to nest the shard_map step; planned).
         self.device_loop = False

@@ -173,7 +173,7 @@ class PipelineRunner:
         else:
             from anime_recommendations_tpu.train.trainer import Trainer
 
-            trainer = Trainer(device_loop=mc.device_loop, **common)
+            trainer = Trainer(device_loop=mc.device_loop, optimizer=mc.optimizer, **common)
         result = trainer.fit(
             train, holdout, vocab.n_users, vocab.n_anime,
             resume=self.cfg.main.resume_training,

@@ -88,7 +88,9 @@ def stage(
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "l2_reg_factor", "shuffle", "sorted_scatter"),
+    static_argnames=(
+        "batch_size", "l2_reg_factor", "shuffle", "sorted_scatter", "optimizer"
+    ),
     donate_argnums=(0,),
 )
 def train_epoch(
@@ -99,9 +101,14 @@ def train_epoch(
     batch_size: int,
     l2_reg_factor: float,
     shuffle: bool = True,
-    sorted_scatter: bool = False,
+    sorted_scatter: bool | str = False,
+    optimizer: str = "adam",
 ) -> tuple[TrainState, jax.Array, jax.Array, jax.Array]:
-    """One full epoch on device. Returns (state, losses[nb], mses[nb], wsums[nb])."""
+    """One full epoch on device. Returns (state, losses[nb], mses[nb], wsums[nb]).
+
+    ``optimizer="lazy_adam"`` switches the step to train/lazy.py (row-sparse
+    Adam; per-batch losses then exclude the L2 regularizer's value).
+    """
     n = data.n
     nb = n // batch_size
     # Device-side shuffle at SHUFFLE_BLOCK granularity: one permuted copy per
@@ -124,6 +131,15 @@ def train_epoch(
         anime = sl(data.anime)
         ratings = sl(data.ratings)
         weights = sl(data.weights)
+        if optimizer == "lazy_adam":
+            from anime_recommendations_tpu.train.lazy import lazy_train_step
+
+            state, loss, mse = lazy_train_step(
+                state, users, anime, ratings, weights, lr, l2_reg_factor
+            )
+            return state, (loss, mse, jnp.sum(weights))
+        if optimizer != "adam":
+            raise ValueError(f"unknown optimizer {optimizer!r}")
         (loss, (mse, new_bn)), grads = jax.value_and_grad(
             loss_and_metrics, has_aux=True
         )(state.params, state.bn_state, users, anime, ratings, weights,

@@ -138,6 +138,18 @@ class Trainer:
     # order over duplicate in-batch ids; measured +27% step throughput
     # combined with the granule shuffle (NOTES_PERF.md).
     sorted_scatter: bool | str = True
+    # "adam" = exact Keras-parity dense Adam (full-table L2 every step).
+    # "lazy_adam" = row-sparse Adam (train/lazy.py): only touched rows get
+    # moments/decay/updates — the TF-Addons-LazyAdam semantics used by
+    # production recommenders. Much faster at scale; documented deviations.
+    optimizer: str = "adam"
+
+    def __post_init__(self):
+        if self.optimizer not in ("adam", "lazy_adam"):
+            raise ValueError(
+                f"unknown optimizer {self.optimizer!r}: choose 'adam' "
+                "(exact Keras parity) or 'lazy_adam' (row-sparse)"
+            )
 
     # ---- overridable backend hooks (ShardedTrainer overrides these) -----------
 
@@ -145,6 +157,13 @@ class Trainer:
         return init_train_state(rng, n_users, n_anime, self.embedding_size)
 
     def _train_step(self, state, batch, lr):
+        if self.optimizer == "lazy_adam":
+            from anime_recommendations_tpu.train.lazy import lazy_train_step
+
+            return lazy_train_step(
+                state, batch.users, batch.anime, batch.ratings,
+                batch.weights, lr, self.l2_reg_factor,
+            )
         return train_step(
             state, batch.users, batch.anime, batch.ratings, batch.weights,
             lr, self.l2_reg_factor,
@@ -226,6 +245,7 @@ class Trainer:
                     state, train_data, key, lr, bs, self.l2_reg_factor,
                     shuffle=self.shuffle_each_epoch,
                     sorted_scatter=self.sorted_scatter,
+                    optimizer=self.optimizer,
                 )
                 bw_arr = np.asarray(ep_ws, np.float64)
                 loss_sum = float(np.asarray(ep_losses) @ bw_arr)
