@@ -210,6 +210,7 @@ class ShardedTrainStep:
             in_specs=(specs, batch_spec, batch_spec, batch_spec, batch_spec, P()),
             out_specs=(specs, P(), P()),
         )
+        self._train_mapped = mapped  # unjitted, for nesting inside lax.scan
         return jax.jit(mapped, donate_argnums=0)
 
     def _build_grads(self):
@@ -265,3 +266,36 @@ class ShardedTrainStep:
 
     def batch_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(DATA_AXIS))
+
+
+def build_epoch_fn(step: ShardedTrainStep, shuffle: bool):
+    """Device-resident SPMD epoch: lax.scan over the shard_map train step.
+
+    The multi-chip analog of train/device_loop.train_epoch — one launch per
+    epoch instead of one per batch. Batch arrays are [nb, B] with B sharded
+    over 'data' (so lax.scan slices batches without resharding). Per-epoch
+    shuffling permutes BATCH ORDER (batch composition is fixed by the
+    staging host-shuffle; re-mixing examples across sharded batches each
+    epoch would need cross-shard all-to-alls — a deliberate trade, see
+    ShardedTrainer._stage_device).
+    """
+    import functools
+
+    mapped = step._train_mapped
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state, users, anime, ratings, weights, key, lr):
+        xs = (users, anime, ratings, weights)
+        if shuffle:
+            perm = jax.random.permutation(key, users.shape[0])
+            xs = tuple(x[perm] for x in xs)
+
+        def body(state, batch):
+            u, a, r, w = batch
+            new_state, loss, mse = mapped(state, u, a, r, w, lr)
+            return new_state, (loss, mse, jnp.sum(w))
+
+        state, (losses, mses, wsums) = jax.lax.scan(body, state, xs)
+        return state, losses, mses, wsums
+
+    return epoch

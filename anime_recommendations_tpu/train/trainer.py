@@ -206,18 +206,7 @@ class Trainer:
             if restored is not None:
                 state, start_epoch = restored
 
-        staged = None
-        if self.device_loop:
-            from anime_recommendations_tpu.train import device_loop as dl
-
-            bs = min(self.batch_size, max(len(train), 1))
-            eval_bs = self._eval_batch_size(len(holdout))
-            stage_seed = self.seed if self.shuffle_each_epoch else None
-            staged = (
-                dl.stage(train, bs, seed=stage_seed),
-                dl.stage(holdout, eval_bs),
-                bs, eval_bs,
-            )
+        staged = self._stage_device(train, holdout) if self.device_loop else None
 
         ckptr = None
         if self.checkpoint_dir is not None:
@@ -237,25 +226,8 @@ class Trainer:
         for epoch in range(start_epoch, self.epochs):
             lr = jnp.float32(self.lr(epoch))
             if staged is not None:
-                from anime_recommendations_tpu.train import device_loop as dl
-
-                train_data, holdout_data, bs, eval_bs = staged
-                key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
-                state, ep_losses, ep_mses, ep_ws = dl.train_epoch(
-                    state, train_data, key, lr, bs, self.l2_reg_factor,
-                    shuffle=self.shuffle_each_epoch,
-                    sorted_scatter=self.sorted_scatter,
-                    optimizer=self.optimizer,
-                )
-                bw_arr = np.asarray(ep_ws, np.float64)
-                loss_sum = float(np.asarray(ep_losses) @ bw_arr)
-                mse_sum = float(np.asarray(ep_mses) @ bw_arr)
-                w_total = float(bw_arr.sum())
-                vl, vm = dl.eval_epoch(
-                    state.params, state.bn_state, holdout_data, eval_bs,
-                    self.l2_reg_factor,
-                )
-                val_loss, val_mse = float(vl), float(vm)
+                (state, loss_sum, mse_sum, w_total,
+                 val_loss, val_mse) = self._device_epoch(staged, state, epoch, lr)
             else:
                 # Device scalars are accumulated without host sync; the
                 # transfer happens once per epoch so the step pipeline
@@ -326,6 +298,43 @@ class Trainer:
             epochs_run=len(rows),
             examples_per_sec=examples_seen / max(elapsed, 1e-9),
         )
+
+    # ---- device-resident epoch hooks (ShardedTrainer overrides these) ---------
+
+    def _stage_device(self, train: RatingsDataset, holdout: RatingsDataset):
+        from anime_recommendations_tpu.train import device_loop as dl
+
+        bs = min(self.batch_size, max(len(train), 1))
+        eval_bs = self._eval_batch_size(len(holdout))
+        stage_seed = self.seed if self.shuffle_each_epoch else None
+        return (
+            dl.stage(train, bs, seed=stage_seed),
+            dl.stage(holdout, eval_bs),
+            bs, eval_bs,
+        )
+
+    def _device_epoch(self, staged, state, epoch: int, lr):
+        """One staged epoch + holdout eval. Returns
+        (state, loss_sum, mse_sum, w_total, val_loss, val_mse)."""
+        from anime_recommendations_tpu.train import device_loop as dl
+
+        train_data, holdout_data, bs, eval_bs = staged
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+        state, ep_losses, ep_mses, ep_ws = dl.train_epoch(
+            state, train_data, key, lr, bs, self.l2_reg_factor,
+            shuffle=self.shuffle_each_epoch,
+            sorted_scatter=self.sorted_scatter,
+            optimizer=self.optimizer,
+        )
+        bw_arr = np.asarray(ep_ws, np.float64)
+        loss_sum = float(np.asarray(ep_losses) @ bw_arr)
+        mse_sum = float(np.asarray(ep_mses) @ bw_arr)
+        w_total = float(bw_arr.sum())
+        vl, vm = dl.eval_epoch(
+            state.params, state.bn_state, holdout_data, eval_bs,
+            self.l2_reg_factor,
+        )
+        return state, loss_sum, mse_sum, w_total, float(vl), float(vm)
 
     def evaluate(
         self, params: TwoTowerParams, bn_state: BNState, ds: RatingsDataset

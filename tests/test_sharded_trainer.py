@@ -65,3 +65,34 @@ def test_sharded_trainer_tracks_single_chip_loss():
 def test_batch_size_must_divide_data_axis():
     with pytest.raises(ValueError):
         ShardedTrainer(data_axis=8, model_axis=1, batch_size=1001)
+
+
+def test_sharded_device_loop_matches_per_step():
+    # One-launch-per-epoch SPMD scan vs per-batch SPMD launches: identical
+    # batches (shuffle off) must give identical-to-noise history.
+    train, holdout, n_users, n_anime = make_ds(n=4096, seed=6)
+    kwargs = dict(
+        embedding_size=8, batch_size=512, epochs=3, patience=5,
+        start_lr=1e-3, max_lr=3e-3, min_lr=1e-3, rampup_epochs=1,
+        l2_reg_factor=1e-5, verbose=False, shuffle_each_epoch=False,
+        data_axis=4, model_axis=2,
+    )
+    per_step = ShardedTrainer(**kwargs).fit(train, holdout, n_users, n_anime)
+    scanned = ShardedTrainer(device_loop=True, **kwargs).fit(
+        train, holdout, n_users, n_anime
+    )
+    np.testing.assert_allclose(
+        per_step.history.to_numpy(), scanned.history.to_numpy(), rtol=2e-4
+    )
+
+
+def test_sharded_device_loop_converges_with_shuffle():
+    train, holdout, n_users, n_anime = make_ds(n=6000, seed=7)
+    result = ShardedTrainer(
+        embedding_size=16, batch_size=512, epochs=5, patience=6,
+        start_lr=3e-3, max_lr=1e-2, min_lr=3e-3, rampup_epochs=2,
+        l2_reg_factor=1e-6, verbose=False, device_loop=True,
+        data_axis=2, model_axis=4, shard_anime=True,
+    ).fit(train, holdout, n_users, n_anime)
+    hist = result.history
+    assert hist["loss"].iloc[-1] < hist["loss"].iloc[0] * 0.98
