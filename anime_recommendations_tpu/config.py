@@ -118,6 +118,10 @@ class ParallelConfig:
 class SimilarityConfig:
     """similar_anime retrieval (config.yaml:101-113)."""
 
+    # Retrieval-table numerics: "f32" (exact), "bf16" (2x less scan
+    # traffic, ~1e-3 score error), "int8" (4x less scan traffic; exact
+    # f32 rescore of a candidate pool — ops/quantized.py).
+    retrieval_dtype: str = "f32"
     anime_query: str = "YuuYuu☆Hakusho!"
     random_anime: bool = False
     a_query_number: int = 10

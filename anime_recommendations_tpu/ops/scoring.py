@@ -63,6 +63,13 @@ def score_topk(
     """Fused predict-all + mask + top-k: returns (ratings [Qn,k], anime rows)."""
     if user_rows_normalized.ndim == 1:
         user_rows_normalized = user_rows_normalized[None, :]
+    from anime_recommendations_tpu.ops.quantized import QuantizedTable, quantized_topk
+
+    if isinstance(anime_table_normalized, QuantizedTable):
+        return quantized_topk(
+            anime_table_normalized, user_rows_normalized, k,
+            mask=mask, head=head, use_head=True, **kwargs,
+        )
     return masked_topk(
         anime_table_normalized,
         user_rows_normalized,

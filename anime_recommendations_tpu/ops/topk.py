@@ -258,6 +258,12 @@ def cosine_topk(
     """
     if query_rows.ndim == 1:
         query_rows = query_rows[None, :]
+    from anime_recommendations_tpu.ops.quantized import QuantizedTable, quantized_topk
+
+    if isinstance(table_normalized, QuantizedTable):
+        return quantized_topk(
+            table_normalized, query_rows, k, mask=mask, exclude=exclude, **kwargs
+        )
     return masked_topk(
         table_normalized, query_rows, k, mask=mask, exclude=exclude, **kwargs
     )

@@ -276,7 +276,11 @@ class PipelineRunner:
                 self.store.get("all_anime.csv:latest").file(),
                 self.store.get("synopses.csv:latest").file(),
             )
-            self._ctx = RecContext.build(params, bn, vocab, catalog, encoded)
+            dt = self.cfg.similarity.retrieval_dtype
+            self._ctx = RecContext.build(
+                params, bn, vocab, catalog, encoded,
+                retrieval_dtype=None if dt in ("f32", "float32") else dt,
+            )
         return self._ctx
 
     # ---- retrieval steps ------------------------------------------------------

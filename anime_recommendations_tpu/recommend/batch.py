@@ -40,7 +40,7 @@ def similar_anime_batch(
         mask &= ctx.genre_mask(genres)
 
     vals, idx = cosine_topk(
-        ctx.anime_norm,
+        ctx.anime_table(),
         ctx.anime_norm[q_idx],
         k=min(count, ctx.vocab.n_anime),
         mask=np.asarray(mask),
@@ -93,7 +93,7 @@ def model_recs_batch(
     k = min(n_recs + buffer, ctx.vocab.n_anime)
 
     vals, idx = score_topk(
-        ctx.anime_norm,
+        ctx.anime_table(),
         ctx.user_norm[user_idx],
         ctx.head,
         k=k,

@@ -67,7 +67,7 @@ def model_recs(
             mask &= score <= float(max_score)
 
     vals, idx = score_topk(
-        ctx.anime_norm,
+        ctx.anime_table(),
         ctx.user_norm[user_index],
         ctx.head,
         k=min(n_recs, ctx.vocab.n_anime),

@@ -52,7 +52,7 @@ def similar_anime(
         mask &= ctx.genre_mask(genres)
 
     vals, idx = cosine_topk(
-        ctx.anime_norm,
+        ctx.anime_table(),
         ctx.anime_norm[query_index],
         k=min(count, ctx.vocab.n_anime),
         mask=np.asarray(mask),

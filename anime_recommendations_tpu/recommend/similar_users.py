@@ -39,7 +39,7 @@ def similar_users(
     query_index = ctx.user_index(user_id)
 
     vals, idx = cosine_topk(
-        ctx.user_norm,
+        ctx.user_table(),
         ctx.user_norm[query_index],
         k=min(n_users, ctx.vocab.n_users),
         exclude=np.asarray([query_index], np.int32),

@@ -124,17 +124,20 @@ def main() -> None:
         ]
         jax.block_until_ready(qs)
         np.asarray(cosine_topk(Wd, qs[0], k=10)[0])
-        t0 = time.perf_counter()
-        np.asarray(cosine_topk(Wd, qs[0], k=10)[0])
-        rtt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        outs = [cosine_topk(Wd, q, k=10) for q in qs]
-        np.asarray(outs[-1][0])
-        # RTT jitter can exceed the device time of small scans; clamp the
-        # estimate to the physical DMA floor (one table read at HBM BW) so a
-        # noisy subtraction cannot report impossible QPS.
+        # Best of 3 chained segments resists transient contention; the DMA
+        # floor (one table read at HBM BW) guards the other tail — RTT
+        # jitter can exceed the device time of small scans.
+        per_call = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(cosine_topk(Wd, qs[0], k=10)[0])
+            rtt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            outs = [cosine_topk(Wd, q, k=10) for q in qs]
+            np.asarray(outs[-1][0])
+            per_call = min(per_call, (time.perf_counter() - t0 - rtt) / iters)
         dma_floor = n_rows * d * jnp.dtype(dtype).itemsize / 819e9
-        per_call = max((time.perf_counter() - t0 - rtt) / iters, dma_floor)
+        per_call = max(per_call, dma_floor)
         return q_batch / per_call, per_call * 1e3
 
     for name, n_rows in (("anime", 17_560), ("user", 350_000)):
@@ -173,6 +176,39 @@ def main() -> None:
         per = min(samples) if samples else fallback
         details[f"topk_user_{tag}_q256_qps"] = round(256 / per)
         details[f"topk_user_{tag}_q256_ms"] = round(per * 1e3, 3)
+
+    # int8 two-stage retrieval (quantized scan + exact f32 rescore).
+    from anime_recommendations_tpu.ops.quantized import quantize_rows, quantized_topk
+
+    qt = jax.device_put(quantize_rows(jnp.asarray(W)))
+    for q_batch in (8, 256):
+        qs = [
+            jax.device_put(
+                jnp.asarray(W[(i * q_batch) % (350_000 - q_batch):][:q_batch])
+            )
+            for i in range(24)
+        ]
+        jax.block_until_ready(qs)
+        np.asarray(quantized_topk(qt, qs[0], k=10)[0])
+        per = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(quantized_topk(qt, qs[0], k=10)[0])
+            rtt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            outs = [quantized_topk(qt, q, k=10) for q in qs]
+            np.asarray(outs[-1][0])
+            per = min(per, (time.perf_counter() - t0 - rtt) / 24)
+        per = max(per, 350_000 * d / 819e9)
+        details[f"topk_user_int8_q{q_batch}_qps"] = round(q_batch / per)
+        details[f"topk_user_int8_q{q_batch}_ms"] = round(per * 1e3, 3)
+    vq, iq = quantized_topk(qt, jax.device_put(jnp.asarray(W[:16])), k=10)
+    iq = np.asarray(iq)
+    sc = W[:16] @ W.T
+    orq = np.argsort(-sc, axis=1)[:, :10]
+    details["topk_int8_overlap_vs_oracle"] = round(
+        float(np.mean([len(set(iq[i]) & set(orq[i])) / 10 for i in range(16)])), 4
+    )
 
     # Retrieval exactness: kernel top-k vs numpy oracle overlap (should be
     # 1.0 for f32 — the parity metric from BASELINE.md).

@@ -188,3 +188,50 @@ def test_small_table_xla_path_matches_kernel_path():
                            interpret=False)
     assert np.asarray(i_p).shape == (5, 6)
     assert (np.asarray(i_p)[:, 4:] == -1).all()
+
+
+def test_quantized_topk_exact_after_rescore():
+    from anime_recommendations_tpu.ops.quantized import quantize_rows, quantized_topk
+
+    rng = np.random.default_rng(21)
+    n, d, qn, k = 3000, 64, 6, 10
+    W = rng.standard_normal((n, d)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=1, keepdims=True)
+    qt = quantize_rows(jnp.asarray(W))
+    q = W[:qn]
+    mask = rng.uniform(size=n) > 0.25
+    excl = np.arange(qn, dtype=np.int32)
+
+    vals, idx = quantized_topk(
+        qt, jnp.asarray(q), k, mask=jnp.asarray(mask),
+        exclude=jnp.asarray(excl), block_rows=1024,
+    )
+    scores = q @ W.T
+    scores[:, ~mask] = -np.inf
+    for r, e in enumerate(excl):
+        scores[r, e] = -np.inf
+    oracle = np.argsort(-scores, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(idx), oracle)
+    # Rescored values are exact f32 cosines, not int8 approximations.
+    np.testing.assert_allclose(
+        np.asarray(vals),
+        np.take_along_axis(scores, oracle, axis=1),
+        rtol=1e-5,
+    )
+
+
+def test_quantized_topk_single_block_and_k_gt_valid():
+    from anime_recommendations_tpu.ops.quantized import quantize_rows, quantized_topk
+
+    rng = np.random.default_rng(22)
+    W = rng.standard_normal((100, 32)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=1, keepdims=True)
+    qt = quantize_rows(jnp.asarray(W))
+    mask = np.zeros(100, bool)
+    mask[:5] = True  # only 5 valid rows, k=8 -> sentinel tail
+    vals, idx = quantized_topk(
+        qt, jnp.asarray(W[:2]), 8, mask=jnp.asarray(mask)
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert (idx[:, :5] < 5).all()
+    assert (vals[:, 5:] <= -1e29).all()

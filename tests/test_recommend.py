@@ -283,3 +283,40 @@ def test_fave_anime_percent_tiebreak(ratings_frame, anime_catalog_frame, synopse
     fave = get_fave_anime(ctx, 1, num_faves=2, TV_only=False)
     # Only the 100%-watched anime survives the percent filter.
     assert catalog.name_of(a1) in fave and catalog.name_of(a2) not in fave
+
+
+def test_int8_context_matches_f32_results(
+    ratings_frame, anime_catalog_frame, synopses_frame, ctx
+):
+    # An int8-retrieval context must produce the same recommendations as
+    # the f32 context (two-stage rescore restores exact scores).
+    clean, _ = preprocess_ratings(ratings_frame, num_reviews=50)
+    vocab = build_vocab(clean)
+    encoded = encode_frame(clean, vocab)
+    catalog = Catalog.from_frames(anime_catalog_frame, synopses_frame)
+    params = tt.init_params(
+        jax.random.PRNGKey(11), vocab.n_users, vocab.n_anime, embedding_size=32
+    )
+    params = params._replace(dense_w=jnp.float32(2.0), dense_b=jnp.float32(0.1))
+    bn = tt.BNState(moving_mean=jnp.float32(0.05), moving_var=jnp.float32(0.8))
+    ctx8 = RecContext.build(
+        params, bn, vocab, catalog, encoded, retrieval_dtype="int8"
+    )
+    assert ctx8.anime_qt is not None and ctx8.user_qt is not None
+
+    name = ctx.catalog.anime["Name"].iloc[3]
+    f_a, _, _ = similar_anime(ctx, name, count=8)
+    q_a, _, _ = similar_anime(ctx8, name, count=8)
+    assert list(f_a["Name"]) == list(q_a["Name"])
+    np.testing.assert_allclose(
+        f_a["Similarity"].to_numpy(), q_a["Similarity"].to_numpy(), rtol=1e-5
+    )
+
+    uid = int(ctx.ratings["user_id"].iloc[0])
+    f_u, _, _ = similar_users(ctx, uid, n_users=5)
+    q_u, _, _ = similar_users(ctx8, uid, n_users=5)
+    assert list(f_u["similar_users"]) == list(q_u["similar_users"])
+
+    f_m, _ = model_recs(ctx, uid, n_recs=5)
+    q_m, _ = model_recs(ctx8, uid, n_recs=5)
+    assert list(f_m["anime_id"]) == list(q_m["anime_id"])
