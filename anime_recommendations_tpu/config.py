@@ -58,7 +58,6 @@ class ModelConfig:
     kernel_initializer: str = "he_normal"
     activation_function: str = "sigmoid"
     model_loss: str = "binary_crossentropy"
-    optimizer: str = "Adam"
     model_metrics: tuple[str, ...] = ("mse",)
 
     test_size: int = 10_000          # holdout rows
@@ -96,8 +95,17 @@ class ModelConfig:
     device_loop: bool = True
     # "adam" (exact Keras parity) or "lazy_adam" (row-sparse Adam: only
     # batch-touched embedding rows get moments/decay/updates — faster at
-    # scale, standard production-recommender semantics).
+    # scale, standard production-recommender semantics). The reference
+    # artifact metadata spells it "Adam" (neural_network.py:263-271);
+    # optimizer_display gives that form.
     optimizer: str = "adam"
+
+    @property
+    def optimizer_display(self) -> str:
+        """Artifact-metadata spelling (reference logs "Adam")."""
+        return {"adam": "Adam", "lazy_adam": "LazyAdam"}.get(
+            self.optimizer, self.optimizer
+        )
 
 
 @dataclass

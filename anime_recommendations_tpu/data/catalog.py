@@ -81,19 +81,23 @@ class Catalog:
 
     def resolve_query(self, name: str | int) -> int:
         """Resolve an anime name to its ID with the reference's 3-stage
-        fallback (similar_anime.py:387-396): cleaned name as eng_version,
-        then raw Name, then cleaned-name column again. Integers are
-        treated as anime IDs directly (get_anime_frame int branch)."""
+        fallback (similar_anime.py:387-396 + get_anime_frame :228-240):
+        (1) cleaned query vs raw Name column, (2) raw query vs raw Name
+        ("in case the name has special characters"), (3) cleaned query vs
+        the CLEANED eng_version column — the punctuation-typo-tolerant
+        match ("in case there is a punctuation typo in the config file").
+        Integers are treated as anime IDs directly (get_anime_frame int
+        branch)."""
         if isinstance(name, (int, np.integer)):
             if int(name) not in self._by_id.index:
                 raise KeyError(f"Unknown anime id: {name}")
             return int(name)
         translated = clean_name(name)
-        hit = self.anime[self.anime["eng_version"] == translated]
+        hit = self.anime[self.anime["Name"] == translated]
         if len(hit) == 0:
             hit = self.anime[self.anime["Name"] == name]
         if len(hit) == 0:
-            hit = self.anime[self.anime["eng_version"] == translated.lower()]
+            hit = self.anime[self.anime["eng_version"] == translated]
         if len(hit) == 0:
             raise KeyError(f"Unknown anime: {name!r}")
         return int(hit["anime_id"].values[0])

@@ -57,7 +57,6 @@ _INT_MIN = -(2 ** 31)  # int32 min as a python int (jnp constants get captured)
 
 def _float_key(scores: jax.Array) -> jax.Array:
     """Order-preserving f32 -> int32 map (negatives un-reversed)."""
-    bits = scores.view(jnp.int32) if hasattr(scores, "view") else scores
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
     return jnp.where(bits >= 0, bits, jnp.int32(_INT_MIN) - bits)
 
@@ -150,6 +149,13 @@ def _quantized_candidates(
     block_rows = min(block_rows, _round_up(n, 32))
     while block_rows > 512 and block_rows * d > 2 * 1024 * 1024:
         block_rows //= 2
+    # The grouped extraction scans n_groups * GROUP rows per block; a block
+    # not a multiple of GROUP would leave a tail of rows that are matmul'd
+    # but never extraction candidates (silently dropping true top-k rows in
+    # the tail). Round DOWN to a GROUP multiple (never up: the VMEM clamp
+    # above must hold); blocks <= GROUP are one full group by construction.
+    if block_rows > GROUP:
+        block_rows -= block_rows % GROUP
 
     # Quantize the queries with their own per-row scales.
     q_abs = jnp.maximum(jnp.max(jnp.abs(queries), axis=1), 1e-12)

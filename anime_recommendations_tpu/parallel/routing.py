@@ -1,0 +1,340 @@
+"""All-to-all embedding-row routing for sharded tables.
+
+TPU-native replacement for the reference's implicit single-replica
+embedding lookup (neural_network.py:142-144 simply replicates the whole
+Keras model under TPUStrategy): the big user table is row-sharded across
+ALL mesh devices and batch lookups are routed to owning shards with
+all-to-all collectives, so each row's data crosses the interconnect once —
+instead of the legacy psum routing (parallel/sharded_train._sharded_lookup)
+whose [B, D] all-reduce moves ~2·B·D bytes per device regardless of shard
+count and makes every shard gather against the full batch.
+
+Layout: MOD-STRIPED. Global row g lives on shard ``g % m`` at local row
+``g // m``. Striping spreads popular rows across shards (vocab order is
+first-appearance, so low ids — the popular users/anime — would all land on
+shard 0 under contiguous-block sharding): the hot-row-skew mitigation of
+SURVEY.md hard part (a). ``to_physical`` permutes a host table so that
+NamedSharding's contiguous block-split realizes the striping.
+
+Exchange protocol (static shapes, EXACT for arbitrary id multisets):
+  1. sort local ids by (owner, id); mark the head of each equal-id run —
+     duplicate ids are requested ONCE (in-batch hot rows cost one row of
+     traffic no matter how often they repeat);
+  2. bucket unique ids by owner; per round, each (sender, owner) bucket
+     sends up to ``capacity`` ids via all_to_all; owners gather their rows
+     locally and all_to_all them straight back to the requesting slots;
+  3. rounds = pmax(ceil(max bucket / capacity)) — a lax.while_loop with a
+     globally-uniform trip count, so overflowing buckets never drop rows;
+     with striped rows + deduped requests one round is the steady state.
+  4. responses land in a per-unique-id buffer; duplicates are filled by a
+     segment gather and the sort is inverted.
+
+The backward pass (custom VJP) reverses the routing: per-unique-id grad
+row sums (segment-sum over duplicates) travel back to the owning shard,
+which scatter-ADDS them into its local table gradient. With the table
+sharded over the WHOLE mesh there is exactly one physical copy of each
+row, so no further cross-device grad reduction is needed.
+
+Replaces (by design, not translation): reference embedding gather
+neural_network.py:74-85 + TPUStrategy all-reduce; north star of
+BASELINE.json ("row-sharded across a multi-host TPU pod slice with
+all-to-all lookup exchange").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---- mod-striped layout ---------------------------------------------------------
+
+
+def owner_of(ids: jax.Array, n_shards: int) -> jax.Array:
+    """Shard (flat mesh rank) owning each global row id."""
+    return jax.lax.rem(ids, jnp.int32(n_shards))
+
+
+def local_of(ids: jax.Array, n_shards: int) -> jax.Array:
+    """Local row index of each global id on its owning shard."""
+    return jax.lax.div(ids, jnp.int32(n_shards))
+
+
+def to_physical(table: np.ndarray | jax.Array, n_shards: int):
+    """Permute [N, D] host rows so a contiguous block-split = mod striping.
+
+    Physical block s (what NamedSharding places on flat-rank-s's device)
+    holds global rows {s, s+m, s+2m, ...} as local rows {0, 1, 2, ...}.
+    N must be a multiple of n_shards (parallel.mesh.pad_rows_for_shards).
+    """
+    n, d = table.shape
+    assert n % n_shards == 0, (n, n_shards)
+    return table.reshape(n // n_shards, n_shards, d).swapaxes(0, 1).reshape(n, d)
+
+
+def from_physical(table: np.ndarray | jax.Array, n_shards: int):
+    """Inverse of to_physical (physical row order -> global id order)."""
+    n, d = table.shape
+    assert n % n_shards == 0, (n, n_shards)
+    return table.reshape(n_shards, n // n_shards, d).swapaxes(0, 1).reshape(n, d)
+
+
+def pad_sentinel(n_rows_padded: int, n_shards: int, shard: int) -> int:
+    """A global id that shard ``shard`` treats as locally out-of-bounds.
+
+    owner_of(sentinel) == shard and local_of(sentinel) == R (one past the
+    local table), so locality-staged padding rows are gather-clamped in the
+    forward (weight 0 kills their loss) and dropped by row-sparse updates.
+    """
+    assert n_rows_padded % n_shards == 0
+    return n_rows_padded + shard
+
+
+# ---- exchange plan (shared by forward and backward) -----------------------------
+
+
+class _Plan(NamedTuple):
+    order: jax.Array      # [B] argsort by (owner, id)
+    seg: jax.Array        # [B] unique-run index per sorted element
+    is_start: jax.Array   # [B] head-of-run mask
+    uids: jax.Array       # [B] unique id per head rank (padded tail arbitrary)
+    hoff: jax.Array       # [m] first head rank per owner
+    hcnt: jax.Array       # [m] unique ids per owner
+    rounds: jax.Array     # [] uniform round count (pmax'd)
+
+
+def _make_plan(ids: jax.Array, n_shards: int, capacity: int, axis) -> _Plan:
+    b = ids.shape[0]
+    m = n_shards
+    owner = owner_of(ids, m)
+    # Sort by owner, ids equal within a run => one composite key.
+    key = owner.astype(jnp.int64) * jnp.int64(2**31) + ids.astype(jnp.int64)
+    order = jnp.argsort(key)
+    ids_s = ids[order]
+    owner_s = owner[order]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]]
+    )
+    seg = jnp.cumsum(is_start) - 1                      # [B] head rank per elem
+    # uids[h] = id of the h-th head (duplicate writers store the same value).
+    uids = jnp.zeros((b,), ids.dtype).at[seg].set(ids_s)
+    hcnt = jnp.bincount(
+        jnp.where(is_start, owner_s, m), length=m + 1
+    )[:m].astype(jnp.int32)
+    hoff = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hcnt)[:-1].astype(jnp.int32)]
+    )
+    need = -(-jnp.max(hcnt) // jnp.int32(capacity))     # ceil div
+    rounds = jax.lax.pmax(need, axis)
+    return _Plan(order, seg, is_start, uids, hoff, hcnt, rounds)
+
+
+def _send_slot_ids(plan: _Plan, r: jax.Array, capacity: int, m: int) -> tuple:
+    """(send_ids [m, C], slot_pos [m, C]): round-r request ids per owner and
+    the head rank each response row belongs to; invalid slots id=-1/pos=B."""
+    b = plan.uids.shape[0]
+    j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    k = r * jnp.int32(capacity) + j                      # [1, C] in-bucket pos
+    pos = plan.hoff[:, None] + k                         # [m, C] head rank
+    valid = k < plan.hcnt[:, None]
+    send_ids = jnp.where(valid, plan.uids[jnp.clip(pos, 0, b - 1)], -1)
+    slot_pos = jnp.where(valid, pos, b)
+    return send_ids, slot_pos
+
+
+# ---- the exchange op (custom VJP) ------------------------------------------------
+
+
+def exchange_rows(
+    table_local: jax.Array,   # [R, D] mod-striped local shard
+    ids: jax.Array,           # [B] global row ids (any multiset; OOB -> zeros)
+    *,
+    axis,                     # shard_map axis name or tuple, e.g. ('data','model')
+    n_shards: int,
+    capacity: int,
+) -> jax.Array:
+    """Gather rows of a mesh-sharded table for arbitrary ids, [B, D].
+
+    Must be called inside shard_map with ``table_local`` sharded over
+    ``axis`` (mod-striped physical layout) and ``ids`` the device's batch
+    shard. Differentiable w.r.t. table_local (reverse routing + local
+    scatter-add).
+    """
+    fn = _exchange_fn(axis, n_shards, capacity)
+    return fn(table_local, ids)
+
+
+def _exchange_fn(axis, n_shards: int, capacity: int):
+    m, cap = n_shards, capacity
+
+    def _forward(table_local, ids):
+        plan = _make_plan(ids, m, cap, axis)
+        b = ids.shape[0]
+        d = table_local.shape[1]
+        r_local = table_local.shape[0]
+
+        def body(carry):
+            r, uresp = carry
+            send_ids, slot_pos = _send_slot_ids(plan, r, cap, m)
+            recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0)      # [m, C]
+            lid = local_of(jnp.maximum(recv_ids, 0), m)
+            ok = (recv_ids >= 0) & (lid < r_local)
+            rows = jnp.where(
+                ok[:, :, None],
+                table_local[jnp.clip(lid, 0, r_local - 1)],
+                jnp.zeros((), table_local.dtype),
+            )                                                        # [m, C, D]
+            resp = jax.lax.all_to_all(rows, axis, 0, 0)              # [m, C, D]
+            uresp = uresp.at[slot_pos.reshape(-1)].set(
+                resp.reshape(-1, d), mode="drop", unique_indices=True
+            )
+            return r + 1, uresp
+
+        _, uresp = jax.lax.while_loop(
+            lambda c: c[0] < plan.rounds,
+            body,
+            (jnp.int32(0), jnp.zeros((b, d), table_local.dtype)),
+        )
+        out_sorted = uresp[plan.seg]                                 # fill dups
+        inv = jnp.zeros((b,), jnp.int32).at[plan.order].set(
+            jnp.arange(b, dtype=jnp.int32)
+        )
+        return out_sorted[inv]
+
+    @jax.custom_vjp
+    def ex(table_local, ids):
+        return _forward(table_local, ids)
+
+    def fwd(table_local, ids):
+        return _forward(table_local, ids), (
+            ids,
+            table_local.shape[0],
+            table_local.dtype,
+        )
+
+    def bwd(res, g):
+        ids, r_local, dtype = res
+        plan = _make_plan(ids, m, cap, axis)
+        b = ids.shape[0]
+        d = g.shape[1]
+        g_s = g[plan.order]
+        # Per-unique-id grad sum (duplicates accumulate onto the head rank).
+        ugrad = jax.ops.segment_sum(g_s, plan.seg, num_segments=b)
+
+        def body(carry):
+            r, d_table = carry
+            send_ids, slot_pos = _send_slot_ids(plan, r, cap, m)
+            recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0)
+            send_g = jnp.where(
+                (slot_pos < b)[:, :, None],
+                ugrad[jnp.clip(slot_pos, 0, b - 1)],
+                jnp.zeros((), g.dtype),
+            )                                                        # [m, C, D]
+            recv_g = jax.lax.all_to_all(send_g, axis, 0, 0)
+            lid = local_of(jnp.maximum(recv_ids, 0), m)
+            ok = (recv_ids >= 0) & (lid < r_local)
+            tgt = jnp.where(ok, lid, r_local)
+            d_table = d_table.at[tgt.reshape(-1)].add(
+                recv_g.reshape(-1, d), mode="drop"
+            )
+            return r + 1, d_table
+
+        _, d_table = jax.lax.while_loop(
+            lambda c: c[0] < plan.rounds,
+            body,
+            (jnp.int32(0), jnp.zeros((r_local, d), dtype)),
+        )
+        return d_table.astype(dtype), None
+
+    ex.defvjp(fwd, bwd)
+    return ex
+
+
+def received_rows(
+    table_local: jax.Array,
+    ids: jax.Array,
+    *,
+    axis,
+    n_shards: int,
+    capacity: int,
+    owner_capacity: int,
+):
+    """Owner-side view of one exchange: (local_ids [S], present) where S =
+    owner_capacity — the local rows of ``table_local`` this shard would
+    serve for the global batch, deduped per requester. Used by row-sparse
+    optimizers to know which rows a step touches without a dense gradient.
+    Rounds beyond owner_capacity/ (n_shards*capacity) are dropped — size
+    owner_capacity generously (it is ids metadata, not row data)."""
+    m, cap = n_shards, capacity
+    plan = _make_plan(ids, m, cap, axis)
+    r_local = table_local.shape[0]
+    n_rounds_fit = owner_capacity // (m * cap)
+
+    def body(carry):
+        r, buf = carry
+        send_ids, _ = _send_slot_ids(plan, r, cap, m)
+        recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0)
+        lid = local_of(jnp.maximum(recv_ids, 0), m)
+        ok = (recv_ids >= 0) & (lid < r_local) & (r < n_rounds_fit)
+        base = (r % jnp.int32(max(n_rounds_fit, 1))) * jnp.int32(m * cap)
+        pos = base + jnp.arange(m * cap, dtype=jnp.int32)
+        buf = buf.at[pos].set(
+            jnp.where(ok.reshape(-1), lid.reshape(-1), r_local), mode="drop"
+        )
+        return r + 1, buf
+
+    _, buf = jax.lax.while_loop(
+        lambda c: c[0] < plan.rounds,
+        body,
+        (jnp.int32(0), jnp.full((owner_capacity,), r_local, jnp.int32)),
+    )
+    return buf
+
+
+# ---- comm accounting --------------------------------------------------------------
+
+
+def exchange_comm_bytes(
+    batch_per_device: int,
+    emb_dim: int,
+    n_shards: int,
+    capacity: int,
+    rounds: int = 1,
+    itemsize: int = 4,
+) -> int:
+    """Wire bytes per device per step for the all-to-all exchange: row data
+    out and back per round ((m-1)/m of slots cross a link; self-chunks are
+    local), plus the id request lanes. Steady state rounds=1."""
+    m, c = n_shards, capacity
+    cross = (m - 1) * c  # slots that actually leave the device, per direction
+    ids_bytes = cross * 4 * rounds
+    row_bytes = 2 * cross * emb_dim * itemsize * rounds  # requestward + response
+    return ids_bytes + row_bytes
+
+
+def psum_comm_bytes(
+    batch_per_device: int, emb_dim: int, n_shards: int, itemsize: int = 4
+) -> int:
+    """Wire bytes per device per step for the legacy psum routing: a ring
+    all-reduce of the dense [B_local, D] gathered block (send+recv)."""
+    return 2 * 2 * (n_shards - 1) * batch_per_device * emb_dim * itemsize // n_shards
+
+
+@partial(jax.jit, static_argnames=("n_shards", "capacity"))
+def plan_stats(ids: jax.Array, n_shards: int, capacity: int):
+    """(unique_ids, max_bucket, rounds) for a batch — host-side diagnostics
+    for the comm log (no collectives; callable outside shard_map)."""
+    owner = owner_of(ids, n_shards)
+    key = owner.astype(jnp.int64) * jnp.int64(2**31) + ids.astype(jnp.int64)
+    ids_s = ids[jnp.argsort(key)]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+    owner_s = owner_of(ids_s, n_shards)
+    hcnt = jnp.bincount(
+        jnp.where(is_start, owner_s, n_shards), length=n_shards + 1
+    )[:n_shards]
+    mx = jnp.max(hcnt)
+    return jnp.sum(is_start), mx, -(-mx // capacity)

@@ -198,7 +198,7 @@ class PipelineRunner:
             type="model",
             metadata={
                 "Loss function": mc.model_loss,
-                "Optimizer": mc.optimizer,
+                "Optimizer": mc.optimizer_display,
                 "Activation function": mc.activation_function,
                 "Start learning rate": mc.start_lr,
                 "Min learning rate": mc.min_lr,

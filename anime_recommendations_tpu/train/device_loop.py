@@ -116,14 +116,21 @@ def train_epoch(
     # an exact per-element permutation (scalar-gather bound, ~0.36 ms/step
     # equivalent at batch 10k — slower than the optimizer math it feeds).
     # stage() host-shuffled rows once, so granules are random example sets.
+    # Granule size never depends on n's factorization (an odd n used to
+    # silently degrade to g=1 scalar gathers): full SHUFFLE_BLOCK granules
+    # are permuted over the head and the sub-granule tail (< g rows, already
+    # host-shuffled) keeps its position. Small datasets shrink g so there
+    # are always >= ~64 granules to permute.
     if shuffle:
-        g = 1
-        while g < SHUFFLE_BLOCK and n % (g * 2) == 0:
-            g *= 2
-        perm = jax.random.permutation(key, n // g)
-        data = DeviceData(
-            *(x.reshape(n // g, g)[perm].reshape(n) for x in data)
-        )
+        g = int(max(1, min(SHUFFLE_BLOCK, n // 64)))
+        n_head = (n // g) * g
+        perm = jax.random.permutation(key, n_head // g)
+
+        def _shuf(x):
+            head = x[:n_head].reshape(n_head // g, g)[perm].reshape(n_head)
+            return head if n_head == n else jnp.concatenate([head, x[n_head:]])
+
+        data = DeviceData(*(_shuf(x) for x in data))
 
     def body(state, i):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * batch_size, batch_size)

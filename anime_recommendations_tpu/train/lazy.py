@@ -17,8 +17,10 @@ implementation shortcuts):
   * L2 decay applies per-touch instead of per-step, so effective
     regularization scales with row frequency;
   * the loss reported by the step is the data loss only (the L2 term's
-    value would itself cost a full-table pass; the trainer adds an
-    epoch-level estimate to the history).
+    VALUE would itself cost a full-table pass). History `loss` for lazy
+    runs therefore excludes the L2 term while `val_loss` (computed by the
+    full eval path) includes it — the two columns are not directly
+    comparable to each other, only to their dense-run counterparts.
 
 Duplicate in-batch rows are handled exactly: the batch is sorted by row id,
 per-unique-row gradient sums are computed with a segment-sum, and one Adam
@@ -96,13 +98,16 @@ def lazy_row_adam(
     nu_new = b2 * nu_rows + (1.0 - b2) * (g_tot * g_tot)
     upd = -lr * (mu_new / bc1) / (jnp.sqrt(nu_new / bc2) + eps)
 
-    # Scatter ONE updated row per unique id: non-head duplicates are routed
-    # to index n (out of bounds) and dropped, so the visible indices are
-    # unique and sorted — the fastest XLA scatter path (a duplicate-tolerant
-    # scatter-add of delta rows measured ~2x slower in-scan).
+    # Scatter ONE updated row per unique id: the non-head duplicate at
+    # position i is routed to the out-of-bounds index n+i and dropped. n+i
+    # is distinct per duplicate AND distinct from every in-bounds head, so
+    # unique_indices=True is genuinely honored (JAX documents UB when the
+    # uniqueness promise is violated, even with mode='drop'). The index
+    # stream is no longer globally sorted (OOB values interleave with
+    # heads), so the sorted claim is dropped.
     n = w.shape[0]
-    idx = jnp.where(is_start, ids_s, n)
-    kw = dict(indices_are_sorted=True, unique_indices=True, mode="drop")
+    idx = jnp.where(is_start, ids_s, n + jnp.arange(b, dtype=ids_s.dtype))
+    kw = dict(unique_indices=True, mode="drop")
     return _RowUpdate(
         w=w.at[idx].set(w_rows + upd, **kw),
         mu=mu.at[idx].set(mu_new, **kw),

@@ -110,7 +110,7 @@ def main() -> None:
     # Dispatch many DISTINCT async calls and sync once: the device executes
     # them in order, so (total - one round-trip) / n isolates device time
     # from host/tunnel latency.
-    def topk_qps(n_rows: int, q_batch: int, dtype) -> tuple[float, float]:
+    def topk_qps(n_rows: int, q_batch: int, dtype) -> tuple[float, float, float]:
         W = rng.standard_normal((n_rows, d), dtype=np.float32)
         W /= np.linalg.norm(W, axis=1, keepdims=True)
         Wd = jax.device_put(jnp.asarray(W, dtype=dtype))
@@ -136,16 +136,23 @@ def main() -> None:
             outs = [cosine_topk(Wd, q, k=10) for q in qs]
             np.asarray(outs[-1][0])
             per_call = min(per_call, (time.perf_counter() - t0 - rtt) / iters)
+        # Report BOTH the raw measurement and the DMA-floor-clamped value:
+        # RTT jitter can make tiny scans measure impossibly fast, but a
+        # clamped number must never read as a measurement.
+        raw_ms = per_call * 1e3
         dma_floor = n_rows * d * jnp.dtype(dtype).itemsize / 819e9
         per_call = max(per_call, dma_floor)
-        return q_batch / per_call, per_call * 1e3
+        return q_batch / per_call, per_call * 1e3, raw_ms
 
     for name, n_rows in (("anime", 17_560), ("user", 350_000)):
         for tag, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
             for q_batch in (8,):
-                qps, ms = topk_qps(n_rows, q_batch, dtype)
+                qps, ms, raw_ms = topk_qps(n_rows, q_batch, dtype)
                 details[f"topk_{name}_{tag}_q{q_batch}_qps"] = round(qps)
                 details[f"topk_{name}_{tag}_q{q_batch}_ms"] = round(ms, 3)
+                details[f"topk_{name}_{tag}_q{q_batch}_ms_raw"] = round(raw_ms, 3)
+                if raw_ms < ms:
+                    details[f"topk_{name}_{tag}_q{q_batch}_clamped"] = True
 
     # Batched-throughput variant: ONE kernel call over 256 queries — a
     # single dispatch, so tunnel/host latency cannot pollute the number.
@@ -199,9 +206,13 @@ def main() -> None:
             outs = [quantized_topk(qt, q, k=10) for q in qs]
             np.asarray(outs[-1][0])
             per = min(per, (time.perf_counter() - t0 - rtt) / 24)
+        raw_per = per
         per = max(per, 350_000 * d / 819e9)
         details[f"topk_user_int8_q{q_batch}_qps"] = round(q_batch / per)
         details[f"topk_user_int8_q{q_batch}_ms"] = round(per * 1e3, 3)
+        details[f"topk_user_int8_q{q_batch}_ms_raw"] = round(raw_per * 1e3, 3)
+        if raw_per < per:
+            details[f"topk_user_int8_q{q_batch}_clamped"] = True
     vq, iq = quantized_topk(qt, jax.device_put(jnp.asarray(W[:16])), k=10)
     iq = np.asarray(iq)
     sc = W[:16] @ W.T

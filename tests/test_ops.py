@@ -220,6 +220,31 @@ def test_quantized_topk_exact_after_rescore():
     )
 
 
+def test_quantized_topk_default_block_covers_tail_rows():
+    """Regression: n=3000 with DEFAULT block_rows used to produce a 3008-row
+    block whose last 448 rows (past the 5 full 512-lane groups) were matmul'd
+    but never extraction candidates — true top-k rows in the tail were
+    silently dropped (a query's exact self-match missing from its results).
+    block_rows must always be a GROUP multiple so every row is a stage-1
+    candidate."""
+    from anime_recommendations_tpu.ops.quantized import quantize_rows, quantized_topk
+
+    rng = np.random.default_rng(33)
+    n, d, k = 3000, 64, 10
+    W = rng.standard_normal((n, d)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=1, keepdims=True)
+    qt = quantize_rows(jnp.asarray(W))
+    # Queries ARE tail rows: their self-match (cosine 1.0) must come back.
+    tail_rows = np.arange(2560, 3000, 40, dtype=np.int32)
+    vals, idx = quantized_topk(qt, jnp.asarray(W[tail_rows]), k)
+    idx = np.asarray(idx)
+    for r, row in enumerate(tail_rows):
+        assert row in idx[r], f"self-match {row} missing from top-{k}: {idx[r]}"
+    scores = W[tail_rows] @ W.T
+    oracle = np.argsort(-scores, axis=1)[:, :k]
+    np.testing.assert_array_equal(idx, oracle)
+
+
 def test_quantized_topk_single_block_and_k_gt_valid():
     from anime_recommendations_tpu.ops.quantized import quantize_rows, quantized_topk
 
