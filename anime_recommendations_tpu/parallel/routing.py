@@ -94,6 +94,13 @@ def pad_sentinel(n_rows_padded: int, n_shards: int, shard: int) -> int:
     return n_rows_padded + shard
 
 
+def default_capacity(batch_per_device: int, n_shards: int) -> int:
+    """Per-(sender, owner) slot count: 2x the uniform expectation, so one
+    round is the steady state and the rounds while_loop only triggers on
+    heavy skew (which mod-striping already dilutes)."""
+    return max(1, 2 * (-(-batch_per_device // n_shards)))
+
+
 # ---- exchange plan (shared by forward and backward) -----------------------------
 
 
@@ -107,13 +114,21 @@ class _Plan(NamedTuple):
     rounds: jax.Array     # [] uniform round count (pmax'd)
 
 
+def _sort_key(ids: jax.Array, n_shards: int) -> jax.Array:
+    """int32 key ordering by (owner, id) without int64 (x64 is off by
+    default): owner*K + local with K = 2^31//m keeps every term < 2^31
+    for int32 ids (equal ids => equal keys; argsort is stable)."""
+    if n_shards == 1:
+        return ids
+    k = (2**31) // n_shards
+    return owner_of(ids, n_shards) * jnp.int32(k) + local_of(ids, n_shards)
+
+
 def _make_plan(ids: jax.Array, n_shards: int, capacity: int, axis) -> _Plan:
     b = ids.shape[0]
     m = n_shards
     owner = owner_of(ids, m)
-    # Sort by owner, ids equal within a run => one composite key.
-    key = owner.astype(jnp.int64) * jnp.int64(2**31) + ids.astype(jnp.int64)
-    order = jnp.argsort(key)
+    order = jnp.argsort(_sort_key(ids, m))
     ids_s = ids[order]
     owner_s = owner[order]
     is_start = jnp.concatenate(
@@ -142,7 +157,11 @@ def _send_slot_ids(plan: _Plan, r: jax.Array, capacity: int, m: int) -> tuple:
     pos = plan.hoff[:, None] + k                         # [m, C] head rank
     valid = k < plan.hcnt[:, None]
     send_ids = jnp.where(valid, plan.uids[jnp.clip(pos, 0, b - 1)], -1)
-    slot_pos = jnp.where(valid, pos, b)
+    # Invalid slots get DISTINCT out-of-bounds positions (b + lane) so the
+    # scatter's unique_indices promise holds (duplicated OOB drops are
+    # documented UB even with mode='drop').
+    lane = jnp.arange(m * capacity, dtype=jnp.int32).reshape(m, capacity)
+    slot_pos = jnp.where(valid, pos, b + lane)
     return send_ids, slot_pos
 
 
@@ -164,18 +183,37 @@ def exchange_rows(
     shard. Differentiable w.r.t. table_local (reverse routing + local
     scatter-add).
     """
-    fn = _exchange_fn(axis, n_shards, capacity)
+    fn = _exchange_fn(
+        _axis_names(axis), n_shards, capacity,
+        table_local.shape[0], str(table_local.dtype),
+    )
     return fn(table_local, ids)
 
 
-def _exchange_fn(axis, n_shards: int, capacity: int):
+def _axis_names(axis) -> tuple:
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def _pvary(x, axis):
+    """Mark a fresh array as device-varying over ``axis`` so it can carry
+    through a while_loop whose body emits varying values (shard_map VMA)."""
+    names = _axis_names(axis)
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, names, to="varying")
+    return jax.lax.pvary(x, names)
+
+
+import functools
+
+
+@functools.cache
+def _exchange_fn(axis, n_shards: int, capacity: int, r_local: int, dtype: str):
     m, cap = n_shards, capacity
 
     def _forward(table_local, ids):
         plan = _make_plan(ids, m, cap, axis)
         b = ids.shape[0]
         d = table_local.shape[1]
-        r_local = table_local.shape[0]
 
         def body(carry):
             r, uresp = carry
@@ -197,7 +235,7 @@ def _exchange_fn(axis, n_shards: int, capacity: int):
         _, uresp = jax.lax.while_loop(
             lambda c: c[0] < plan.rounds,
             body,
-            (jnp.int32(0), jnp.zeros((b, d), table_local.dtype)),
+            (jnp.int32(0), _pvary(jnp.zeros((b, d), table_local.dtype), axis)),
         )
         out_sorted = uresp[plan.seg]                                 # fill dups
         inv = jnp.zeros((b,), jnp.int32).at[plan.order].set(
@@ -210,14 +248,9 @@ def _exchange_fn(axis, n_shards: int, capacity: int):
         return _forward(table_local, ids)
 
     def fwd(table_local, ids):
-        return _forward(table_local, ids), (
-            ids,
-            table_local.shape[0],
-            table_local.dtype,
-        )
+        return _forward(table_local, ids), ids
 
-    def bwd(res, g):
-        ids, r_local, dtype = res
+    def bwd(ids, g):
         plan = _make_plan(ids, m, cap, axis)
         b = ids.shape[0]
         d = g.shape[1]
@@ -246,7 +279,7 @@ def _exchange_fn(axis, n_shards: int, capacity: int):
         _, d_table = jax.lax.while_loop(
             lambda c: c[0] < plan.rounds,
             body,
-            (jnp.int32(0), jnp.zeros((r_local, d), dtype)),
+            (jnp.int32(0), _pvary(jnp.zeros((r_local, d), dtype), axis)),
         )
         return d_table.astype(dtype), None
 
@@ -290,7 +323,7 @@ def received_rows(
     _, buf = jax.lax.while_loop(
         lambda c: c[0] < plan.rounds,
         body,
-        (jnp.int32(0), jnp.full((owner_capacity,), r_local, jnp.int32)),
+        (jnp.int32(0), _pvary(jnp.full((owner_capacity,), r_local, jnp.int32), axis)),
     )
     return buf
 
@@ -328,9 +361,7 @@ def psum_comm_bytes(
 def plan_stats(ids: jax.Array, n_shards: int, capacity: int):
     """(unique_ids, max_bucket, rounds) for a batch — host-side diagnostics
     for the comm log (no collectives; callable outside shard_map)."""
-    owner = owner_of(ids, n_shards)
-    key = owner.astype(jnp.int64) * jnp.int64(2**31) + ids.astype(jnp.int64)
-    ids_s = ids[jnp.argsort(key)]
+    ids_s = ids[jnp.argsort(_sort_key(ids, n_shards))]
     is_start = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
     owner_s = owner_of(ids_s, n_shards)
     hcnt = jnp.bincount(
