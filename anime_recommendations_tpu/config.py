@@ -117,9 +117,14 @@ class ParallelConfig:
     # Row-shard the user table over the 'model' axis when it has >1 shard.
     shard_user_table: bool = True
     # Replicate the anime table when it fits (18K x 128 f32 ~ 9 MB); shard
-    # over 'model' otherwise.
+    # over 'model' otherwise. (Only meaningful for routing="psum"; the
+    # all-to-all path always shards both tables over the whole mesh.)
     shard_anime_table: bool = False
     donate_state: bool = True
+    # Embedding lookup routing on the mesh: "alltoall" (production — each
+    # row crosses the interconnect once, tables sharded over the whole
+    # mesh) or "psum" (legacy dense block all-reduce, comparison baseline).
+    routing: str = "alltoall"
 
 
 @dataclass

@@ -95,10 +95,14 @@ def pad_sentinel(n_rows_padded: int, n_shards: int, shard: int) -> int:
 
 
 def default_capacity(batch_per_device: int, n_shards: int) -> int:
-    """Per-(sender, owner) slot count: 2x the uniform expectation, so one
-    round is the steady state and the rounds while_loop only triggers on
-    heavy skew (which mod-striping already dilutes)."""
-    return max(1, 2 * (-(-batch_per_device // n_shards)))
+    """Per-(sender, owner) slot count: 2x the uniform expectation with a
+    floor of 8, capped at the batch itself (a sender can never have more
+    unique ids in a bucket than its whole batch). One round is then the
+    steady state — small batches are single-round by construction, and
+    the rounds while_loop only triggers on heavy skew at scale (which
+    mod-striping already dilutes)."""
+    want = max(8, 2 * (-(-batch_per_device // n_shards)))
+    return max(1, min(batch_per_device, want))
 
 
 # ---- exchange plan (shared by forward and backward) -----------------------------
@@ -326,6 +330,70 @@ def received_rows(
         (jnp.int32(0), _pvary(jnp.full((owner_capacity,), r_local, jnp.int32), axis)),
     )
     return buf
+
+
+def route_grads_lazy_adam(
+    w: jax.Array,        # [R, D] local shard (mod-striped)
+    mu: jax.Array,       # [R, D]
+    nu: jax.Array,       # [R, D]
+    ids: jax.Array,      # [B] global ids this device looked up
+    g_rows: jax.Array,   # [B, D] grads w.r.t. the exchanged rows
+    t: jax.Array,        # [] Adam step count AFTER this update
+    lr: jax.Array,
+    l2: float,
+    *,
+    axis,
+    n_shards: int,
+    capacity: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Reverse of exchange_rows for ROW-SPARSE optimizers: per-unique-id
+    gradient sums travel back to the owning shard, which applies lazy Adam
+    (train/lazy.lazy_row_adam) to exactly the rows it receives — no dense
+    table gradient is ever materialized on any shard.
+
+    In the single-round steady state this is exact lazy-Adam: every global
+    row gets ONE update from its total cross-device grad sum (duplicates
+    within a round are segment-summed by lazy_row_adam). Under multi-round
+    overflow (heavy skew beyond capacity) a row served in two rounds gets
+    two smaller Adam applications instead of one — a bounded deviation the
+    2x-slack default_capacity plus mod-striping makes rare.
+    """
+    from anime_recommendations_tpu.train.lazy import lazy_row_adam
+
+    m, cap = n_shards, capacity
+    plan = _make_plan(ids, m, cap, axis)
+    b = ids.shape[0]
+    r_local = w.shape[0]
+    g_s = g_rows[plan.order]
+    ugrad = jax.ops.segment_sum(g_s, plan.seg, num_segments=b)
+
+    def body(carry):
+        r, w, mu, nu = carry
+        send_ids, slot_pos = _send_slot_ids(plan, r, cap, m)
+        recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0)      # [m, C]
+        send_g = jnp.where(
+            (slot_pos < b)[:, :, None],
+            ugrad[jnp.clip(slot_pos, 0, b - 1)],
+            jnp.zeros((), g_rows.dtype),
+        )
+        recv_g = jax.lax.all_to_all(send_g, axis, 0, 0)          # [m, C, D]
+        lid = local_of(jnp.maximum(recv_ids, 0), m)
+        ok = (recv_ids >= 0) & (lid < r_local)
+        # Rows not served this round go to the OOB marker r_local, which
+        # lazy_row_adam drops (its scatter routes them out of bounds).
+        owner_ids = jnp.where(ok, lid, r_local).reshape(-1).astype(jnp.int32)
+        upd = lazy_row_adam(
+            w, mu, nu, owner_ids, recv_g.reshape(-1, recv_g.shape[-1]),
+            t, lr, l2,
+        )
+        return r + 1, upd.w, upd.mu, upd.nu
+
+    _, w, mu, nu = jax.lax.while_loop(
+        lambda c: c[0] < plan.rounds,
+        body,
+        (jnp.int32(0), w, mu, nu),
+    )
+    return w, mu, nu
 
 
 # ---- comm accounting --------------------------------------------------------------

@@ -1,29 +1,39 @@
 """SPMD training step: row-sharded embedding tables over a 2-axis mesh.
 
 TPU-native replacement for the reference's data-parallel-only
-TPUStrategy training (neural_network.py:142-178). Layout (SURVEY.md §2
-parallelism table, BASELINE.json north star):
+TPUStrategy training (neural_network.py:142-178). Two routing modes
+(SURVEY.md §2 parallelism table, BASELINE.json north star):
 
-  * batch           : split over 'data'
-  * user table      : row-sharded over 'model' (the ~350K-row scaling axis)
-  * anime table     : replicated by default (18K x 128 f32 ~ 9 MB),
-                      optionally row-sharded over 'model'
+``routing="alltoall"`` (default, the production path):
+  * batch           : split over the WHOLE mesh ('data','model')
+  * user table      : row-sharded over the WHOLE mesh, MOD-STRIPED
+                      physical layout (parallel/routing.py) so popular
+                      low-id rows spread across shards
+  * anime table     : likewise sharded over the whole mesh
   * head + BN       : replicated
+  Lookups are routed with all-to-all collectives: each row crosses the
+  interconnect ONCE to its requester (deduped per sender), and the VJP
+  routes per-row gradient sums back to the single owning shard — no dense
+  table gradient ever crosses the wire. Comm per device per step is
+  ~2 * (B/m) * D floats (requestward + response), shrinking with shard
+  count, vs the psum path's constant 2 * B_local * D.
 
-Embedding lookup routing: every device gathers the rows it OWNS for its
-batch shard (masked local gather) and an ICI all-reduce over 'model'
-(psum of the [B_local, D] gathered block) assembles full rows — HBM
-traffic stays local to the owning shard; comm per step is B_local x D
-floats, independent of table size. The gather's transpose (scatter-add of
-row gradients) lands only on the owning shard by the same mask.
+``routing="psum"`` (legacy, kept for comparison benchmarks):
+  * batch over 'data', user table row-sharded over 'model' only, anime
+    replicated; every shard gathers against the full local batch and an
+    all-reduce over 'model' assembles rows. Simple, and fine at
+    model<=2; its dense [B, D] psum and the data-axis reduction of the
+    table-shard gradient do not scale (VERDICT.md round 1, item 1).
 
-Gradient reduction: grads of replicated leaves (anime table, head) and of
-the model-sharded user block are psum'd over 'data'. The Keras-style L2
-term (full-table) is added analytically as 2*lambda*W AFTER the data
-reduction — exact, and it keeps per-shard autodiff free of cross-shard
-regularizer terms.
+Gradient reduction: grads of replicated leaves (head, BN; plus the anime
+table in psum mode) are reduced over the batch axes by the vma-aware
+shard_map transpose of the psum'd loss. The Keras-style L2 term
+(full-table) is added analytically as 2*lambda*W AFTER that reduction —
+exact, and it keeps per-shard autodiff free of cross-shard regularizer
+terms. In alltoall mode each table row has exactly ONE physical copy, so
+table grads need no cross-device reduction at all.
 
-BatchNorm uses GLOBAL batch statistics (psum over 'data'), so the
+BatchNorm uses GLOBAL batch statistics (psum over the batch axes), so the
 multi-chip step is bit-compatible with the single-chip math — a deliberate
 deviation from TF's per-replica default, recorded in SURVEY.md hard
 part (d).
@@ -33,6 +43,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -44,12 +55,21 @@ from anime_recommendations_tpu.models.two_tower import (
     bce,
     cosine_merge,
 )
+from anime_recommendations_tpu.parallel import routing as rt
 from anime_recommendations_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from anime_recommendations_tpu.train.trainer import TrainState, make_optimizer
 
+FULL_AXES = (DATA_AXIS, MODEL_AXIS)
 
-def param_specs(shard_anime: bool = False) -> TwoTowerParams:
+
+def param_specs(shard_anime: bool = False, routing: str = "alltoall") -> TwoTowerParams:
     """PartitionSpecs for each model leaf."""
+    if routing == "alltoall":
+        table = P(FULL_AXES, None)
+        return TwoTowerParams(
+            user_emb=table, anime_emb=table,
+            dense_w=P(), dense_b=P(), bn_gamma=P(), bn_beta=P(),
+        )
     return TwoTowerParams(
         user_emb=P(MODEL_AXIS, None),
         anime_emb=P(MODEL_AXIS, None) if shard_anime else P(),
@@ -60,28 +80,66 @@ def param_specs(shard_anime: bool = False) -> TwoTowerParams:
     )
 
 
-def state_specs(shard_anime: bool = False) -> TrainState:
-    p = param_specs(shard_anime)
+def state_specs(shard_anime: bool = False, routing: str = "alltoall") -> TrainState:
+    p = param_specs(shard_anime, routing)
     bn = BNState(moving_mean=P(), moving_var=P())
     opt = optax.ScaleByAdamState(count=P(), mu=p, nu=p)
     return TrainState(params=p, bn_state=bn, opt_state=opt)
 
 
-def state_shardings(mesh, shard_anime: bool = False) -> TrainState:
+def state_shardings(mesh, shard_anime: bool = False, routing: str = "alltoall") -> TrainState:
     return jax.tree.map(
         lambda spec: NamedSharding(mesh, spec),
-        state_specs(shard_anime),
+        state_specs(shard_anime, routing),
         is_leaf=lambda x: isinstance(x, P),
     )
 
 
-def place_state(state: TrainState, mesh, shard_anime: bool = False) -> TrainState:
-    """device_put a (host or single-device) TrainState onto the mesh."""
-    return jax.device_put(state, state_shardings(mesh, shard_anime))
+def _map_tables(state: TrainState, fn) -> TrainState:
+    """Apply ``fn`` to every user/anime table leaf (params + Adam moments)."""
+    def on_params(p: TwoTowerParams) -> TwoTowerParams:
+        return p._replace(user_emb=fn(p.user_emb), anime_emb=fn(p.anime_emb))
+
+    opt = state.opt_state
+    return TrainState(
+        params=on_params(state.params),
+        bn_state=state.bn_state,
+        opt_state=optax.ScaleByAdamState(
+            count=opt.count, mu=on_params(opt.mu), nu=on_params(opt.nu)
+        ),
+    )
+
+
+def place_state(
+    state: TrainState, mesh, shard_anime: bool = False, routing: str = "alltoall"
+) -> TrainState:
+    """device_put a LOGICAL-order TrainState onto the mesh.
+
+    In alltoall mode both tables are permuted to the mod-striped physical
+    layout first (routing.to_physical) so the contiguous NamedSharding
+    split realizes the striping. Table row counts must already be padded
+    to a multiple of the shard count (parallel.mesh.pad_rows_for_shards).
+    """
+    if routing == "alltoall":
+        m = mesh.devices.size
+        state = _map_tables(
+            state, lambda t: rt.to_physical(np.asarray(t), m)
+        )
+    return jax.device_put(state, state_shardings(mesh, shard_anime, routing))
+
+
+def unstripe_state(state: TrainState, mesh, routing: str = "alltoall") -> TrainState:
+    """Pull a mesh-placed TrainState to host in LOGICAL row order."""
+    state = jax.tree.map(np.asarray, state)
+    if routing == "alltoall":
+        m = mesh.devices.size
+        state = _map_tables(state, lambda t: rt.from_physical(t, m))
+    return state
 
 
 def _sharded_lookup(table_local: jax.Array, idx: jax.Array, axis: str) -> jax.Array:
-    """Gather rows of a row-sharded table: masked local gather + psum(axis)."""
+    """Legacy psum routing: masked local gather + psum(axis) of the dense
+    [B, D] block (contiguous block layout over 'model')."""
     rows_local = table_local.shape[0]
     shard = jax.lax.axis_index(axis)
     local = idx - shard * rows_local
@@ -89,15 +147,6 @@ def _sharded_lookup(table_local: jax.Array, idx: jax.Array, axis: str) -> jax.Ar
     safe = jnp.clip(local, 0, rows_local - 1)
     gathered = table_local[safe] * owned[:, None].astype(table_local.dtype)
     return jax.lax.psum(gathered, axis)
-
-
-def _global_weighted_moments(z, w):
-    """Weighted batch mean/var across the full global batch (psum 'data')."""
-    denom = jax.lax.psum(jnp.sum(w), DATA_AXIS)
-    denom = jnp.maximum(denom, 1.0)
-    mean = jax.lax.psum(jnp.sum(z * w), DATA_AXIS) / denom
-    var = jax.lax.psum(jnp.sum(jnp.square(z - mean) * w), DATA_AXIS) / denom
-    return mean, var, denom
 
 
 class ShardedTrainStep:
@@ -108,10 +157,25 @@ class ShardedTrainStep:
         mesh,
         l2_reg_factor: float = 1e-4,
         shard_anime: bool = False,
+        routing: str = "alltoall",
+        optimizer: str = "adam",
     ):
+        if routing not in ("alltoall", "psum"):
+            raise ValueError(f"unknown routing {routing!r}")
+        if optimizer == "lazy_adam" and routing != "alltoall":
+            raise ValueError(
+                "lazy_adam requires routing='alltoall' (owner-side row-sparse "
+                "updates need the exchange plan; the psum path has no row "
+                "ownership for the gathered block)"
+            )
         self.mesh = mesh
         self.l2 = float(l2_reg_factor)
         self.shard_anime = shard_anime
+        self.routing = routing
+        self.optimizer = optimizer
+        self._n_shards = int(mesh.devices.size) if routing == "alltoall" else None
+        # Axes the batch is split over == axes batch statistics reduce over.
+        self._baxes = FULL_AXES if routing == "alltoall" else DATA_AXIS
         self._train = self._build_train()
         self._eval = self._build_eval()
         self._grads = self._build_grads()
@@ -127,82 +191,222 @@ class ShardedTrainStep:
 
     def grads(self, state, users, anime, ratings, weights):
         """Debug/verification entry: the exact global gradient pytree
-        (data-psum'd + analytic L2), before any optimizer transform."""
+        (batch-axes-reduced + analytic L2), before any optimizer transform.
+        In alltoall mode table grads come back in PHYSICAL (striped) order."""
         return self._grads(state, users, anime, ratings, weights)
 
-    # ---- construction ---------------------------------------------------------
+    def _batch_spec(self) -> P:
+        return P(self._baxes)
 
-    def _forward_local(self, params, users, anime, weights, bn_stats):
-        """Per-shard forward to predictions; bn_stats None -> use batch stats."""
-        u_rows = _sharded_lookup(params.user_emb, users, MODEL_AXIS)
+    def batch_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self._batch_spec())
+
+    # ---- lookups ----------------------------------------------------------------
+
+    def _lookup_user(self, table_local, ids):
+        if self.routing == "alltoall":
+            return rt.exchange_rows(
+                table_local, ids, axis=FULL_AXES, n_shards=self._n_shards,
+                capacity=rt.default_capacity(ids.shape[0], self._n_shards),
+            )
+        return _sharded_lookup(table_local, ids, MODEL_AXIS)
+
+    def _lookup_anime(self, table_local, ids):
+        if self.routing == "alltoall":
+            return rt.exchange_rows(
+                table_local, ids, axis=FULL_AXES, n_shards=self._n_shards,
+                capacity=rt.default_capacity(ids.shape[0], self._n_shards),
+            )
         if self.shard_anime:
-            a_rows = _sharded_lookup(params.anime_emb, anime, MODEL_AXIS)
-        else:
-            a_rows = params.anime_emb[anime]
-        cos = cosine_merge(u_rows, a_rows)
+            return _sharded_lookup(table_local, ids, MODEL_AXIS)
+        return table_local[ids]
+
+    # ---- forward / loss ---------------------------------------------------------
+
+    def _global_weighted_moments(self, z, w):
+        """Weighted batch mean/var across the full global batch."""
+        denom = jax.lax.psum(jnp.sum(w), self._baxes)
+        denom = jnp.maximum(denom, 1.0)
+        mean = jax.lax.psum(jnp.sum(z * w), self._baxes) / denom
+        var = jax.lax.psum(jnp.sum(jnp.square(z - mean) * w), self._baxes) / denom
+        return mean, var, denom
+
+    def _head(self, params, cos, weights, bn_stats):
         z = params.dense_w * cos + params.dense_b
         if bn_stats is None:
-            mean, var, _ = _global_weighted_moments(z, weights)
+            mean, var, _ = self._global_weighted_moments(z, weights)
         else:
             mean, var = bn_stats
         z_hat = (z - mean) * jax.lax.rsqrt(var + KERAS_BN_EPS)
         pred = jax.nn.sigmoid(params.bn_gamma * z_hat + params.bn_beta)
         return pred, (mean, var)
 
+    def _forward_local(self, params, users, anime, weights, bn_stats):
+        """Per-shard forward to predictions; bn_stats None -> use batch stats."""
+        u_rows = self._lookup_user(params.user_emb, users)
+        a_rows = self._lookup_anime(params.anime_emb, anime)
+        cos = cosine_merge(u_rows, a_rows)
+        return self._head(params, cos, weights, bn_stats)
+
     def _data_loss_and_metrics(self, params, users, anime, ratings, weights,
                                bn_stats):
         pred, stats = self._forward_local(params, users, anime, weights, bn_stats)
-        denom = jnp.maximum(jax.lax.psum(jnp.sum(weights), DATA_AXIS), 1.0)
-        loss = jax.lax.psum(jnp.sum(bce(pred, ratings) * weights), DATA_AXIS) / denom
+        denom = jnp.maximum(jax.lax.psum(jnp.sum(weights), self._baxes), 1.0)
+        loss = jax.lax.psum(
+            jnp.sum(bce(pred, ratings) * weights), self._baxes
+        ) / denom
         mse = jax.lax.psum(
-            jnp.sum(jnp.square(pred - ratings) * weights), DATA_AXIS
+            jnp.sum(jnp.square(pred - ratings) * weights), self._baxes
         ) / denom
         return loss, (mse, stats)
 
     def _reg_sum(self, params):
+        if self.routing == "alltoall":
+            local = jnp.sum(jnp.square(params.user_emb)) + jnp.sum(
+                jnp.square(params.anime_emb)
+            )
+            return self.l2 * jax.lax.psum(local, FULL_AXES)
         user_sq = jax.lax.psum(jnp.sum(jnp.square(params.user_emb)), MODEL_AXIS)
         anime_sq = jnp.sum(jnp.square(params.anime_emb))
         if self.shard_anime:
             anime_sq = jax.lax.psum(anime_sq, MODEL_AXIS)
         return self.l2 * (user_sq + anime_sq)
 
+    def _new_bn(self, bn, mean, var):
+        return BNState(
+            moving_mean=bn.moving_mean * KERAS_BN_MOMENTUM
+            + mean * (1.0 - KERAS_BN_MOMENTUM),
+            moving_var=bn.moving_var * KERAS_BN_MOMENTUM
+            + var * (1.0 - KERAS_BN_MOMENTUM),
+        )
+
+    # ---- step builders ----------------------------------------------------------
+
+    def _step_specs(self):
+        return state_specs(self.shard_anime, self.routing)
+
+    def _dense_step(self, state: TrainState, users, anime, ratings, weights, lr):
+        def loss_fn(params):
+            return self._data_loss_and_metrics(
+                params, users, anime, ratings, weights, None
+            )
+
+        (data_loss, (mse, (mean, var))), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        # The vma-aware shard_map transpose already reduces grads of
+        # replicated leaves over the batch axes (the loss is psum'd
+        # there); only the analytic L2 term is added here. Table grads in
+        # alltoall mode live on exactly one shard (custom VJP routed them
+        # home), so 2*l2*W_local is the exact full-table term.
+        grads = grads._replace(
+            user_emb=grads.user_emb + 2.0 * self.l2 * state.params.user_emb,
+            anime_emb=grads.anime_emb + 2.0 * self.l2 * state.params.anime_emb,
+        )
+
+        updates, new_opt = make_optimizer().update(
+            grads, state.opt_state, state.params
+        )
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        loss = data_loss + self._reg_sum(state.params)
+        return (
+            TrainState(new_params, self._new_bn(state.bn_state, mean, var), new_opt),
+            loss,
+            mse,
+        )
+
+    def _lazy_step(self, state: TrainState, users, anime, ratings, weights, lr):
+        """Row-sparse Adam on the routed path (train/lazy.py semantics).
+
+        Gradients are taken w.r.t. the EXCHANGED rows — no dense table
+        gradient ever exists on any shard. Per-unique-row grad sums travel
+        back to the owning shard over the same all-to-all plan, and owners
+        apply lazy Adam only to the rows a round delivers (multi-round
+        overflow applies Adam per round — exact dedup in the single-round
+        steady state; see routing.route_grads_lazy_adam).
+        """
+        from anime_recommendations_tpu.train.lazy import B1, B2, _scalar_adam
+
+        params = state.params
+        opt: optax.ScaleByAdamState = state.opt_state
+        m = self._n_shards
+        cap_u = rt.default_capacity(users.shape[0], m)
+        cap_a = rt.default_capacity(anime.shape[0], m)
+        u_rows = rt.exchange_rows(
+            params.user_emb, users, axis=FULL_AXES, n_shards=m, capacity=cap_u
+        )
+        a_rows = rt.exchange_rows(
+            params.anime_emb, anime, axis=FULL_AXES, n_shards=m, capacity=cap_a
+        )
+        head_params = (params.dense_w, params.dense_b,
+                       params.bn_gamma, params.bn_beta)
+
+        def data_loss(u_rows, a_rows, head_params):
+            dense_w, dense_b, bn_gamma, bn_beta = head_params
+            proxy = params._replace(
+                dense_w=dense_w, dense_b=dense_b,
+                bn_gamma=bn_gamma, bn_beta=bn_beta,
+            )
+            cos = cosine_merge(u_rows, a_rows)
+            pred, stats = self._head(proxy, cos, weights, None)
+            denom = jnp.maximum(
+                jax.lax.psum(jnp.sum(weights), self._baxes), 1.0
+            )
+            loss = jax.lax.psum(
+                jnp.sum(bce(pred, ratings) * weights), self._baxes
+            ) / denom
+            mse = jax.lax.psum(
+                jnp.sum(jnp.square(pred - ratings) * weights), self._baxes
+            ) / denom
+            return loss, (mse, stats)
+
+        (loss, (mse, (mean, var))), (d_u, d_a, d_head) = jax.value_and_grad(
+            data_loss, argnums=(0, 1, 2), has_aux=True
+        )(u_rows, a_rows, head_params)
+
+        t = opt.count + 1
+        new_u = rt.route_grads_lazy_adam(
+            params.user_emb, opt.mu.user_emb, opt.nu.user_emb,
+            users, d_u, t, lr, self.l2,
+            axis=FULL_AXES, n_shards=m, capacity=cap_u,
+        )
+        new_a = rt.route_grads_lazy_adam(
+            params.anime_emb, opt.mu.anime_emb, opt.nu.anime_emb,
+            anime, d_a, t, lr, self.l2,
+            axis=FULL_AXES, n_shards=m, capacity=cap_a,
+        )
+
+        tf32 = t.astype(jnp.float32)
+        bc1 = 1.0 - jnp.float32(B1) ** tf32
+        bc2 = 1.0 - jnp.float32(B2) ** tf32
+        names = ("dense_w", "dense_b", "bn_gamma", "bn_beta")
+        new_scalars, new_mu_s, new_nu_s = {}, {}, {}
+        for name, g in zip(names, d_head):
+            p, mu_, nu_ = _scalar_adam(
+                getattr(params, name), getattr(opt.mu, name),
+                getattr(opt.nu, name), g, bc1, bc2, lr,
+            )
+            new_scalars[name], new_mu_s[name], new_nu_s[name] = p, mu_, nu_
+
+        new_params = TwoTowerParams(
+            user_emb=new_u[0], anime_emb=new_a[0], **new_scalars
+        )
+        new_opt = optax.ScaleByAdamState(
+            count=t,
+            mu=TwoTowerParams(user_emb=new_u[1], anime_emb=new_a[1], **new_mu_s),
+            nu=TwoTowerParams(user_emb=new_u[2], anime_emb=new_a[2], **new_nu_s),
+        )
+        new_state = TrainState(
+            new_params, self._new_bn(state.bn_state, mean, var), new_opt
+        )
+        return new_state, loss, mse
+
     def _build_train(self):
-        specs = state_specs(self.shard_anime)
-        batch_spec = P(DATA_AXIS)
-
-        def step(state: TrainState, users, anime, ratings, weights, lr):
-            def loss_fn(params):
-                loss, aux = self._data_loss_and_metrics(
-                    params, users, anime, ratings, weights, None
-                )
-                return loss, aux
-
-            (data_loss, (mse, (mean, var))), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
-
-            # The vma-aware shard_map transpose already reduces grads of
-            # replicated/model-sharded leaves over 'data' (the loss is
-            # psum'd there); only the analytic L2 term is added here.
-            grads = grads._replace(
-                user_emb=grads.user_emb + 2.0 * self.l2 * state.params.user_emb,
-                anime_emb=grads.anime_emb + 2.0 * self.l2 * state.params.anime_emb,
-            )
-
-            updates, new_opt = make_optimizer().update(
-                grads, state.opt_state, state.params
-            )
-            updates = jax.tree.map(lambda u: -lr * u, updates)
-            new_params = optax.apply_updates(state.params, updates)
-
-            new_bn = BNState(
-                moving_mean=state.bn_state.moving_mean * KERAS_BN_MOMENTUM
-                + mean * (1.0 - KERAS_BN_MOMENTUM),
-                moving_var=state.bn_state.moving_var * KERAS_BN_MOMENTUM
-                + var * (1.0 - KERAS_BN_MOMENTUM),
-            )
-            loss = data_loss + self._reg_sum(state.params)
-            return TrainState(new_params, new_bn, new_opt), loss, mse
+        specs = self._step_specs()
+        batch_spec = self._batch_spec()
+        step = self._lazy_step if self.optimizer == "lazy_adam" else self._dense_step
 
         mapped = jax.shard_map(
             step,
@@ -214,15 +418,14 @@ class ShardedTrainStep:
         return jax.jit(mapped, donate_argnums=0)
 
     def _build_grads(self):
-        specs = state_specs(self.shard_anime)
-        batch_spec = P(DATA_AXIS)
+        specs = self._step_specs()
+        batch_spec = self._batch_spec()
 
         def step(state: TrainState, users, anime, ratings, weights):
             def loss_fn(params):
-                loss, aux = self._data_loss_and_metrics(
+                return self._data_loss_and_metrics(
                     params, users, anime, ratings, weights, None
                 )
-                return loss, aux
 
             _, grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             return grads._replace(
@@ -239,18 +442,20 @@ class ShardedTrainStep:
         return jax.jit(mapped)
 
     def _build_eval(self):
-        specs = state_specs(self.shard_anime)
-        batch_spec = P(DATA_AXIS)
+        specs = self._step_specs()
+        batch_spec = self._batch_spec()
 
         def step(params, bn, users, anime, ratings, weights):
             pred, _ = self._forward_local(
                 params, users, anime, weights,
                 (bn.moving_mean, bn.moving_var),
             )
-            w_sum = jax.lax.psum(jnp.sum(weights), DATA_AXIS)
-            loss_sum = jax.lax.psum(jnp.sum(bce(pred, ratings) * weights), DATA_AXIS)
+            w_sum = jax.lax.psum(jnp.sum(weights), self._baxes)
+            loss_sum = jax.lax.psum(
+                jnp.sum(bce(pred, ratings) * weights), self._baxes
+            )
             mse_sum = jax.lax.psum(
-                jnp.sum(jnp.square(pred - ratings) * weights), DATA_AXIS
+                jnp.sum(jnp.square(pred - ratings) * weights), self._baxes
             )
             loss_sum = loss_sum + self._reg_sum(params) * w_sum
             return loss_sum, mse_sum, w_sum
@@ -262,29 +467,30 @@ class ShardedTrainStep:
                       batch_spec, batch_spec),
             out_specs=(P(), P(), P()),
         )
+        self._eval_mapped = mapped
         return jax.jit(mapped)
-
-    def batch_sharding(self) -> NamedSharding:
-        return NamedSharding(self.mesh, P(DATA_AXIS))
 
 
 def build_epoch_fn(step: ShardedTrainStep, shuffle: bool):
-    """Device-resident SPMD epoch: lax.scan over the shard_map train step.
+    """Device-resident SPMD epoch: lax.scan over the shard_map train step,
+    then the holdout eval scanned on-mesh in the SAME program — the
+    multi-chip analog of train/device_loop (one launch per epoch, no
+    per-batch host dispatch anywhere in a sharded fit).
 
-    The multi-chip analog of train/device_loop.train_epoch — one launch per
-    epoch instead of one per batch. Batch arrays are [nb, B] with B sharded
-    over 'data' (so lax.scan slices batches without resharding). Per-epoch
-    shuffling permutes BATCH ORDER (batch composition is fixed by the
-    staging host-shuffle; re-mixing examples across sharded batches each
-    epoch would need cross-shard all-to-alls — a deliberate trade, see
+    Batch arrays are [nb, B] with B sharded over the step's batch axes (so
+    lax.scan slices batches without resharding). Per-epoch shuffling
+    permutes BATCH ORDER (batch composition is fixed by the staging
+    host-shuffle; re-mixing examples across sharded batches each epoch
+    would need cross-shard all-to-alls — a deliberate trade, see
     ShardedTrainer._stage_device).
     """
     import functools
 
     mapped = step._train_mapped
+    eval_mapped = step._eval_mapped
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def epoch(state, users, anime, ratings, weights, key, lr):
+    def epoch(state, users, anime, ratings, weights, ev, key, lr):
         xs = (users, anime, ratings, weights)
         if shuffle:
             perm = jax.random.permutation(key, users.shape[0])
@@ -296,6 +502,19 @@ def build_epoch_fn(step: ShardedTrainStep, shuffle: bool):
             return new_state, (loss, mse, jnp.sum(w))
 
         state, (losses, mses, wsums) = jax.lax.scan(body, state, xs)
-        return state, losses, mses, wsums
+
+        def ebody(carry, batch):
+            u, a, r, w = batch
+            ls, ms, ws = eval_mapped(state.params, state.bn_state, u, a, r, w)
+            l_sum, m_sum, w_sum = carry
+            return (l_sum + ls, m_sum + ms, w_sum + ws), None
+
+        (vl_sum, vm_sum, vw_sum), _ = jax.lax.scan(
+            ebody,
+            (jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+            ev,
+        )
+        vw = jnp.maximum(vw_sum, 1.0)
+        return state, losses, mses, wsums, vl_sum / vw, vm_sum / vw
 
     return epoch

@@ -1,20 +1,32 @@
 """Multi-chip trainer: the single-chip epoch loop over SPMD steps.
 
 Drop-in replacement for train.Trainer on a ('data','model') mesh. Handles:
-  * user-table row padding to a model-shard multiple (zero rows are inert
-    under the L2 term — parallel/mesh.pad_table)
-  * state placement with NamedShardings
-  * global batches sharded over 'data' (batch_size must divide evenly)
+  * table row padding to a shard multiple (zero rows are inert under the
+    L2 term — parallel/mesh.pad_table); in all-to-all routing mode BOTH
+    tables are sharded over the WHOLE mesh in the mod-striped physical
+    layout (parallel/routing.py)
+  * state placement with NamedShardings (striping included) and
+    de-striping of the fitted state back to logical row order
+  * global batches sharded over the step's batch axes ('data' in psum
+    mode, the whole mesh in alltoall mode)
+  * optimizer="lazy_adam": owner-side row-sparse Adam on the routed path
+    (routing.route_grads_lazy_adam) — per-step table traffic stays
+    O(touched rows), never O(table)
 
 The reference scaled lr/batch by num_replicas_in_sync but then never used
 the scaled values (neural_network.py:176-177 vs :213 — dead code, SURVEY.md
 §3.2); here scaling is explicit and opt-in via scale_lr_by_data_shards.
+
+Checkpoints written during a sharded fit hold the mesh-PHYSICAL layout
+(resume must use the same mesh shape); the returned TrainResult.state is
+always host-resident in LOGICAL row order.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+from anime_recommendations_tpu.parallel import routing as rt
 from anime_recommendations_tpu.parallel.mesh import (
     MODEL_AXIS,
     make_mesh,
@@ -24,9 +36,11 @@ from anime_recommendations_tpu.parallel.sharded_train import (
     ShardedTrainStep,
     build_epoch_fn,
     place_state,
+    unstripe_state,
 )
 from anime_recommendations_tpu.train.trainer import (
     Trainer,
+    TrainResult,
     TrainState,
     init_train_state,
 )
@@ -38,42 +52,68 @@ class ShardedTrainer(Trainer):
     model_axis: int = 1
     shard_anime: bool = False
     scale_lr_by_data_shards: bool = False
+    # "alltoall" (default): tables sharded over the whole mesh, lookups
+    # routed so each row crosses the wire once. "psum": legacy dense
+    # [B, D] all-reduce routing over 'model' (comparison baseline).
+    routing: str = "alltoall"
 
     def __post_init__(self):
         super().__post_init__()  # optimizer validation
-        if self.optimizer == "lazy_adam":
-            raise ValueError(
-                "lazy_adam is single-chip-only for now; the sharded path "
-                "uses dense Adam (see train/lazy.py)"
-            )
         self.mesh = make_mesh(self.data_axis, self.model_axis)
         self._n_model = self.mesh.shape[MODEL_AXIS]
         self._n_data = self.mesh.shape["data"]
-        if self.batch_size % self._n_data:
+        n_dev = int(self.mesh.devices.size)
+        # Shards the batch splits over / tables split over.
+        self._n_batch_shards = n_dev if self.routing == "alltoall" else self._n_data
+        self._n_table_shards = n_dev if self.routing == "alltoall" else self._n_model
+        if self.batch_size % self._n_batch_shards:
             raise ValueError(
-                f"batch_size {self.batch_size} must divide by data shards "
-                f"{self._n_data}"
+                f"batch_size {self.batch_size} must divide by batch shards "
+                f"{self._n_batch_shards}"
             )
         self._step = ShardedTrainStep(
             self.mesh,
             l2_reg_factor=self.l2_reg_factor,
             shard_anime=self.shard_anime,
+            routing=self.routing,
+            optimizer=self.optimizer,
+        )
+        if self.verbose:
+            self._log_comm_budget()
+
+    def _log_comm_budget(self):
+        b_dev = max(self.batch_size // self._n_batch_shards, 1)
+        m = self._n_table_shards
+        cap = rt.default_capacity(b_dev, m)
+        a2a = rt.exchange_comm_bytes(b_dev, self.embedding_size, m, cap)
+        ps = rt.psum_comm_bytes(
+            max(self.batch_size // max(self._n_data, 1), 1),
+            self.embedding_size, max(self._n_model, 2),
+        )
+        self.log_fn(
+            f"routing={self.routing}: per-device per-table lookup comm "
+            f"~{a2a/1e6:.2f} MB/step (all-to-all, capacity {cap}) vs "
+            f"~{ps/1e6:.2f} MB/step (psum block all-reduce)"
         )
 
     # ---- backend hooks --------------------------------------------------------
 
     def _init_state(self, rng, n_users: int, n_anime: int) -> TrainState:
-        n_users_p = pad_rows_for_shards(n_users, self._n_model)
-        n_anime_p = (
-            pad_rows_for_shards(n_anime, self._n_model)
-            if self.shard_anime else n_anime
-        )
+        m = self._n_table_shards
+        n_users_p = pad_rows_for_shards(n_users, m)
+        shard_anime = self.shard_anime or self.routing == "alltoall"
+        n_anime_p = pad_rows_for_shards(n_anime, m) if shard_anime else n_anime
         state = init_train_state(rng, n_users_p, n_anime_p, self.embedding_size)
-        return place_state(state, self.mesh, self.shard_anime)
+        return place_state(state, self.mesh, self.shard_anime, self.routing)
+
+    def fit(self, *args, **kwargs) -> TrainResult:
+        result = super().fit(*args, **kwargs)
+        result.state = unstripe_state(result.state, self.mesh, self.routing)
+        return result
 
     def _train_step(self, state, batch, lr):
         if self.scale_lr_by_data_shards:
-            lr = lr * self._n_data
+            lr = lr * self._n_batch_shards
         return self._step.train_step(
             state, batch.users, batch.anime, batch.ratings, batch.weights, lr
         )
@@ -85,65 +125,77 @@ class ShardedTrainer(Trainer):
         )
 
     def _eval_batch_size(self, n_rows: int) -> int:
-        size = min(self.batch_size, max(n_rows, self._n_data))
-        return max(size - size % self._n_data, self._n_data)
+        k = self._n_batch_shards
+        size = min(self.batch_size, max(n_rows, k))
+        return max(size - size % k, k)
 
     # ---- device-resident SPMD epoch (one launch per epoch) ---------------------
 
     def _stage_device(self, train, holdout):
-        """Stage the epoch as [nb, B] arrays with B sharded over 'data'.
+        """Stage train AND holdout as [nb, B] arrays with B sharded over the
+        batch axes; the epoch fn scans train steps and the holdout eval in
+        ONE device program (sharded_train.build_epoch_fn).
 
         Rows are host-shuffled once (seeded), fixing batch COMPOSITION for
-        the run; per-epoch shuffling permutes batch order on device
-        (sharded_train.build_epoch_fn). Re-mixing examples across sharded
-        batches each epoch would pay cross-shard all-to-alls; with the
-        seeded host shuffle each batch is already a uniform random sample.
+        the run; per-epoch shuffling permutes batch order on device.
+        Re-mixing examples across sharded batches each epoch would pay
+        cross-shard all-to-alls; with the seeded host shuffle each batch is
+        already a uniform random sample.
         """
         import jax as _jax
         import numpy as np
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        bs = min(self.batch_size, max(len(train), 1))
-        bs = max(bs - bs % self._n_data, self._n_data)
-        n = len(train)
-        nb = max(-(-n // bs), 1)
-        pad = nb * bs - n
-        order = (
-            np.random.default_rng(self.seed).permutation(n)
-            if self.shuffle_each_epoch else np.arange(n)
-        )
-        sh = NamedSharding(self.mesh, P(None, "data"))
+        sh = NamedSharding(self.mesh, P(None, self._step._baxes))
 
-        def put(x, dtype):
-            return _jax.device_put(
-                np.pad(x[order], (0, pad)).astype(dtype).reshape(nb, bs), sh
+        def stage(ds, bs, order):
+            n = len(ds)
+            nb = max(-(-n // bs), 1)
+            pad = nb * bs - n
+
+            def put(x, dtype):
+                return _jax.device_put(
+                    np.pad(x[order], (0, pad)).astype(dtype).reshape(nb, bs), sh
+                )
+
+            return (
+                put(ds.users, np.int32),
+                put(ds.anime, np.int32),
+                put(ds.ratings, np.float32),
+                _jax.device_put(
+                    np.pad(np.ones(n, np.float32), (0, pad)).reshape(nb, bs), sh
+                ),
             )
 
-        arrays = (
-            put(train.users, np.int32),
-            put(train.anime, np.int32),
-            put(train.ratings, np.float32),
-            _jax.device_put(
-                np.pad(np.ones(n, np.float32), (0, pad)).reshape(nb, bs), sh
-            ),
+        bs = min(self.batch_size, max(len(train), 1))
+        bs = max(bs - bs % self._n_batch_shards, self._n_batch_shards)
+        order = (
+            np.random.default_rng(self.seed).permutation(len(train))
+            if self.shuffle_each_epoch else np.arange(len(train))
+        )
+        train_arrays = stage(train, bs, order)
+        ev_arrays = stage(
+            holdout, self._eval_batch_size(len(holdout)), np.arange(len(holdout))
         )
         epoch_fn = build_epoch_fn(self._step, self.shuffle_each_epoch)
-        return (arrays, epoch_fn, holdout)
+        return (train_arrays, ev_arrays, epoch_fn)
 
     def _device_epoch(self, staged, state, epoch: int, lr):
         import jax as _jax
         import jax.numpy as jnp
         import numpy as np
 
-        arrays, epoch_fn, holdout = staged
+        train_arrays, ev_arrays, epoch_fn = staged
         if self.scale_lr_by_data_shards:
-            lr = lr * self._n_data
+            lr = lr * self._n_batch_shards
         key = _jax.random.fold_in(_jax.random.PRNGKey(self.seed), epoch)
-        state, losses, mses, wsums = epoch_fn(
-            state, *arrays, key, jnp.float32(lr)
+        state, losses, mses, wsums, val_loss, val_mse = epoch_fn(
+            state, *train_arrays, ev_arrays, key, jnp.float32(lr)
         )
         bw = np.asarray(wsums, np.float64)
         loss_sum = float(np.asarray(losses) @ bw)
         mse_sum = float(np.asarray(mses) @ bw)
-        val_loss, val_mse = self.evaluate(state.params, state.bn_state, holdout)
-        return state, loss_sum, mse_sum, float(bw.sum()), val_loss, val_mse
+        return (
+            state, loss_sum, mse_sum, float(bw.sum()),
+            float(val_loss), float(val_mse),
+        )

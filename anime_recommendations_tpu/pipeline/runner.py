@@ -168,8 +168,8 @@ class PipelineRunner:
 
             trainer = ShardedTrainer(
                 data_axis=pc.data_axis, model_axis=pc.model_axis,
-                shard_anime=pc.shard_anime_table,
-                device_loop=mc.device_loop, **common,
+                shard_anime=pc.shard_anime_table, routing=pc.routing,
+                device_loop=mc.device_loop, optimizer=mc.optimizer, **common,
             )
         else:
             from anime_recommendations_tpu.train.trainer import Trainer

@@ -1,7 +1,9 @@
 """Multi-chip SPMD parity on the 8-device virtual CPU mesh.
 
 The sharded train/eval steps must reproduce the single-chip math exactly
-(global-batch BatchNorm makes this bit-compatible; SURVEY.md hard part (d)).
+(global-batch BatchNorm makes this bit-compatible; SURVEY.md hard part (d))
+— in BOTH routing modes: the production all-to-all row exchange (tables
+sharded over the whole mesh) and the legacy psum block all-reduce.
 """
 
 import jax
@@ -10,10 +12,12 @@ import numpy as np
 import pytest
 
 from anime_recommendations_tpu.models import two_tower as tt
+from anime_recommendations_tpu.parallel import routing as rt
 from anime_recommendations_tpu.parallel.mesh import make_mesh, pad_table
 from anime_recommendations_tpu.parallel.sharded_train import (
     ShardedTrainStep,
     place_state,
+    unstripe_state,
 )
 from anime_recommendations_tpu.train.trainer import (
     TrainState,
@@ -47,26 +51,51 @@ def clone_state(state):
     return jax.tree.map(jnp.copy, state)
 
 
-@pytest.mark.parametrize("mesh_shape,shard_anime", [
-    ((4, 2), False),
-    ((2, 4), False),
-    ((8, 1), False),
-    ((1, 8), False),
-    ((4, 2), True),
-])
-def test_sharded_step_matches_single_chip(single_state, batch, mesh_shape, shard_anime):
-    users, anime, ratings, weights = batch
-    mesh = make_mesh(*mesh_shape)
-    step = ShardedTrainStep(mesh, l2_reg_factor=L2, shard_anime=shard_anime)
+def unstripe_grads(grads, mesh, routing):
+    if routing != "alltoall":
+        return grads
+    m = mesh.devices.size
+    return grads._replace(
+        user_emb=rt.from_physical(np.asarray(grads.user_emb), m),
+        anime_emb=rt.from_physical(np.asarray(grads.anime_emb), m),
+    )
 
-    sharded = place_state(clone_state(single_state), mesh, shard_anime)
+
+CASES = [
+    ((4, 2), False, "psum"),
+    ((2, 4), False, "psum"),
+    ((8, 1), False, "psum"),
+    ((1, 8), False, "psum"),
+    ((4, 2), True, "psum"),
+    ((4, 2), False, "alltoall"),
+    ((2, 4), False, "alltoall"),
+    ((8, 1), False, "alltoall"),
+    ((1, 8), False, "alltoall"),
+    ((2, 2), False, "alltoall"),
+]
+
+
+@pytest.mark.parametrize("mesh_shape,shard_anime,routing", CASES)
+def test_sharded_step_matches_single_chip(
+    single_state, batch, mesh_shape, shard_anime, routing
+):
+    users, anime, ratings, weights = batch
+    devices = jax.devices()[: mesh_shape[0] * mesh_shape[1]]
+    mesh = make_mesh(*mesh_shape, devices=devices)
+    step = ShardedTrainStep(
+        mesh, l2_reg_factor=L2, shard_anime=shard_anime, routing=routing
+    )
+
+    sharded = place_state(clone_state(single_state), mesh, shard_anime, routing)
     ref = clone_state(single_state)
 
     # Gradient parity FIRST (pre-optimizer): this is the exact-math check.
     # (Adam itself amplifies f32 reduction-order noise on near-zero grads
     # into ~sign(grad)*lr flips, so evolved params are not comparable
     # tightly — the per-step loss/mse below covers the full update path.)
-    g_sharded = step.grads(sharded, users, anime, ratings, weights)
+    g_sharded = unstripe_grads(
+        step.grads(sharded, users, anime, ratings, weights), mesh, routing
+    )
     g_ref = jax.grad(
         lambda p: tt.loss_and_metrics(
             p, single_state.bn_state, users, anime, ratings, weights, L2, True
@@ -91,12 +120,14 @@ def test_sharded_step_matches_single_chip(single_state, batch, mesh_shape, shard
     np.testing.assert_allclose(
         float(sharded.bn_state.moving_mean), float(ref.bn_state.moving_mean), atol=1e-3
     )
+    # Evolved params round-trip through the physical layout consistently.
+    host = unstripe_state(sharded, mesh, routing)
+    assert host.params.user_emb.shape == (N_USERS, D)
 
 
-def test_user_table_actually_sharded(single_state, batch):
+def test_user_table_actually_sharded_psum(single_state, batch):
     mesh = make_mesh(2, 4)
-    step = ShardedTrainStep(mesh, l2_reg_factor=L2)
-    sharded = place_state(clone_state(single_state), mesh)
+    sharded = place_state(clone_state(single_state), mesh, routing="psum")
     shard_shapes = {
         s.data.shape for s in sharded.params.user_emb.addressable_shards
     }
@@ -107,11 +138,28 @@ def test_user_table_actually_sharded(single_state, batch):
     } == {(N_ANIME, D)}
 
 
-def test_sharded_eval_matches_single_chip(single_state, batch):
+def test_tables_sharded_over_whole_mesh_alltoall(single_state):
+    mesh = make_mesh(2, 4)
+    sharded = place_state(clone_state(single_state), mesh, routing="alltoall")
+    assert {
+        s.data.shape for s in sharded.params.user_emb.addressable_shards
+    } == {(N_USERS // 8, D)}
+    assert {
+        s.data.shape for s in sharded.params.anime_emb.addressable_shards
+    } == {(N_ANIME // 8, D)}
+    # Striped placement: device s's block holds global rows s, s+8, ...
+    host = unstripe_state(sharded, mesh, "alltoall")
+    np.testing.assert_allclose(
+        host.params.user_emb, np.asarray(single_state.params.user_emb)
+    )
+
+
+@pytest.mark.parametrize("routing", ["psum", "alltoall"])
+def test_sharded_eval_matches_single_chip(single_state, batch, routing):
     users, anime, ratings, weights = batch
     mesh = make_mesh(4, 2)
-    step = ShardedTrainStep(mesh, l2_reg_factor=L2)
-    sharded = place_state(clone_state(single_state), mesh)
+    step = ShardedTrainStep(mesh, l2_reg_factor=L2, routing=routing)
+    sharded = place_state(clone_state(single_state), mesh, routing=routing)
     ls, ms, ws = step.eval_sums(
         sharded.params, sharded.bn_state, users, anime, ratings, weights
     )
@@ -124,6 +172,69 @@ def test_sharded_eval_matches_single_chip(single_state, batch):
     np.testing.assert_allclose(float(ws), float(rw), rtol=1e-6)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (8, 1)])
+def test_sharded_lazy_adam_matches_single_chip(single_state, batch, mesh_shape):
+    """Owner-side row-sparse Adam on the routed path vs train/lazy.py.
+
+    Adam's mhat/sqrt(vhat) amplifies f32 reduction-order noise on
+    near-zero grads into ~±lr flips, so evolved params are compared
+    loosely; the moments (linear/quadratic in the grads) are tight, and
+    per-step loss/mse cover the full update path.
+    """
+    from anime_recommendations_tpu.train.lazy import lazy_train_step
+
+    users, anime, ratings, weights = batch
+    mesh = make_mesh(*mesh_shape)
+    step = ShardedTrainStep(
+        mesh, l2_reg_factor=L2, routing="alltoall", optimizer="lazy_adam"
+    )
+    sharded = place_state(clone_state(single_state), mesh, routing="alltoall")
+    ref = clone_state(single_state)
+
+    lr = jnp.float32(0.01)
+    for i in range(3):
+        sharded, s_loss, s_mse = step.train_step(
+            sharded, users, anime, ratings, weights, lr
+        )
+        ref, r_loss, r_mse = lazy_train_step(
+            ref, users, anime, ratings, weights, lr, L2
+        )
+        np.testing.assert_allclose(
+            float(s_loss), float(r_loss), rtol=1e-3, err_msg=f"step {i}"
+        )
+        np.testing.assert_allclose(float(s_mse), float(r_mse), rtol=1e-3)
+
+    host = unstripe_state(sharded, mesh, "alltoall")
+    m = mesh.devices.size
+    ref_host = jax.tree.map(np.asarray, ref)
+    # First moments: linear in the grads -> tight parity, row for row.
+    np.testing.assert_allclose(
+        host.opt_state.mu.user_emb, ref_host.opt_state.mu.user_emb,
+        atol=1e-6, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        host.opt_state.mu.anime_emb, ref_host.opt_state.mu.anime_emb,
+        atol=1e-6, rtol=1e-4,
+    )
+    # Untouched rows identical (never routed, never decayed).
+    touched_u = np.unique(np.asarray(users))
+    untouched = np.setdiff1d(np.arange(N_USERS), touched_u)
+    np.testing.assert_array_equal(
+        host.params.user_emb[untouched],
+        np.asarray(single_state.params.user_emb)[untouched],
+    )
+    np.testing.assert_allclose(
+        host.params.user_emb, ref_host.params.user_emb, atol=2e-4
+    )
+    # BN EMA inherits the head params' Adam flip noise (update magnitude
+    # ~lr on near-zero grads); compare to that scale, not f32 eps.
+    np.testing.assert_allclose(
+        float(host.bn_state.moving_mean), float(ref_host.bn_state.moving_mean),
+        atol=2e-4,
+    )
+    assert m  # silence unused warning if asserts above change
+
+
 def test_pad_table():
     t = np.ones((10, 4), np.float32)
     out = pad_table(t, 4)
@@ -132,7 +243,8 @@ def test_pad_table():
     assert pad_table(t, 5).shape == (10, 4)
 
 
-def test_training_converges_on_mesh():
+@pytest.mark.parametrize("routing", ["psum", "alltoall"])
+def test_training_converges_on_mesh(routing):
     """A few sharded steps reduce the loss on a learnable problem."""
     rng = np.random.default_rng(0)
     U = rng.normal(size=(N_USERS, 4))
@@ -142,8 +254,11 @@ def test_training_converges_on_mesh():
     y = (1 / (1 + np.exp(-np.einsum("ij,ij->i", U[users], V[anime])))).astype(np.float32)
 
     mesh = make_mesh(4, 2)
-    step = ShardedTrainStep(mesh, l2_reg_factor=1e-6)
-    state = place_state(init_train_state(jax.random.PRNGKey(1), N_USERS, N_ANIME, 16), mesh)
+    step = ShardedTrainStep(mesh, l2_reg_factor=1e-6, routing=routing)
+    state = place_state(
+        init_train_state(jax.random.PRNGKey(1), N_USERS, N_ANIME, 16),
+        mesh, routing=routing,
+    )
     losses = []
     lr = jnp.float32(0.02)
     for i in range(30):

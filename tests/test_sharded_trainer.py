@@ -36,10 +36,11 @@ def test_sharded_trainer_fits_and_matches_history_schema():
     hist = result.history
     assert list(hist.columns) == ["loss", "mse", "val_loss", "val_mse", "lr"]
     assert hist["loss"].iloc[-1] < hist["loss"].iloc[0]
-    # User table padded to a multiple of model shards and actually sharded.
-    assert result.state.params.user_emb.shape[0] % 2 == 0
-    shapes = {s.data.shape[0] for s in result.state.params.user_emb.addressable_shards}
-    assert shapes == {result.state.params.user_emb.shape[0] // 2}
+    # alltoall routing: BOTH tables padded to a multiple of the WHOLE mesh
+    # (8 shards); the fitted state comes back host-resident in logical order.
+    assert isinstance(result.state.params.user_emb, np.ndarray)
+    assert result.state.params.user_emb.shape[0] % 8 == 0
+    assert result.state.params.anime_emb.shape[0] % 8 == 0
 
 
 def test_sharded_trainer_tracks_single_chip_loss():
@@ -62,9 +63,44 @@ def test_sharded_trainer_tracks_single_chip_loss():
     )
 
 
-def test_batch_size_must_divide_data_axis():
+def test_batch_size_must_divide_batch_shards():
     with pytest.raises(ValueError):
         ShardedTrainer(data_axis=8, model_axis=1, batch_size=1001)
+
+
+def test_psum_routing_still_trains():
+    train, holdout, n_users, n_anime = make_ds(n=3000, seed=9)
+    result = ShardedTrainer(
+        routing="psum", data_axis=4, model_axis=2,
+        embedding_size=8, batch_size=512, epochs=2, patience=3,
+        start_lr=3e-3, max_lr=3e-3, min_lr=3e-3, rampup_epochs=1,
+        l2_reg_factor=1e-6, verbose=False,
+    ).fit(train, holdout, n_users, n_anime)
+    assert result.history["loss"].iloc[-1] < result.history["loss"].iloc[0]
+
+
+def test_lazy_adam_requires_alltoall():
+    with pytest.raises(ValueError):
+        ShardedTrainer(routing="psum", optimizer="lazy_adam",
+                       data_axis=4, model_axis=2, batch_size=512)
+
+
+def test_sharded_lazy_adam_trains_and_matches_single_chip_lazy():
+    train, holdout, n_users, n_anime = make_ds(n=4096, seed=12)
+    kwargs = dict(
+        embedding_size=8, batch_size=1024, epochs=3, patience=3,
+        start_lr=1e-3, max_lr=3e-3, min_lr=1e-3, rampup_epochs=1,
+        l2_reg_factor=1e-5, verbose=False, seed=4, optimizer="lazy_adam",
+    )
+    single = Trainer(**kwargs).fit(train, holdout, n_users, n_anime)
+    sharded = ShardedTrainer(data_axis=2, model_axis=4, **kwargs).fit(
+        train, holdout, n_users, n_anime
+    )
+    np.testing.assert_allclose(
+        single.history["loss"].to_numpy(),
+        sharded.history["loss"].to_numpy(),
+        rtol=2e-2,
+    )
 
 
 def test_sharded_device_loop_matches_per_step():
