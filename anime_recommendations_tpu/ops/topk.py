@@ -32,9 +32,11 @@ def _topk_kernel(
     w_ref,       # [B, D] table block, VMEM
     mask_ref,    # [1, B] f32 row-validity (>0 keeps), VMEM
     excl_ref,    # [1, Qp] i32 row to exclude per query (-1: none), VMEM
+    qlive_ref,   # [1, Qp] f32 1 for real queries, 0 for lane padding, VMEM
     head_ref,    # [1, 2] f32 (alpha, beta) for the optional sigmoid head, SMEM
     out_s_ref,   # [k_pad, Qp] block top-k scores
     out_i_ref,   # [k_pad, Qp] block top-k row indices
+    thresh_ref,  # [8, Qp] f32 scratch: row 0 = per-query running k-th best
     *,
     k: int,
     k_pad: int,
@@ -44,6 +46,16 @@ def _topk_kernel(
 ):
     b = pl.program_id(0)
     base = b * block_rows
+
+    # Running-threshold init: a block can only contribute to a query's
+    # global top-k if some row beats the k-th best of an already-extracted
+    # block (tau). Padded query lanes get +inf so they never force an
+    # extraction. Scratch persists across the sequential grid.
+    @pl.when(b == 0)
+    def _():
+        thresh_ref[:, :] = jnp.where(
+            qlive_ref[0, :][None, :] > 0.0, _NEG, -_NEG
+        ) * jnp.ones((thresh_ref.shape[0], 1), jnp.float32)
     # MXU: [Qp, D] x [B, D]^T -> [Qp, B], f32 accumulate. The [Qp, B]
     # layout is load-bearing: table rows land on the LANE axis, so the
     # VPU extraction below runs at full 8x128 occupancy even for small
@@ -73,20 +85,47 @@ def _topk_kernel(
     valid &= rows != excl_ref[0, :][:, None]        # per-query self-exclusion
     scores = jnp.where(valid, scores, _NEG)
 
-    # Iterative max-extraction: k is small (10s), so k cross-lane-reduce
-    # passes over the [Qp, B] block cost less than any in-kernel sort.
-    for j in range(k):
-        best = jnp.max(scores, axis=1)
-        best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
-        out_s_ref[j, :] = best
-        out_i_ref[j, :] = best_idx + base
-        hit = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) == best_idx[:, None]
-        scores = jnp.where(hit, _NEG, scores)
-    # Rows padding k up to the 8-sublane tile carry the masked sentinel so
-    # the global merge can never pick them.
-    for j in range(k, k_pad):
-        out_s_ref[j, :] = jnp.full((scores.shape[0],), _NEG, jnp.float32)
-        out_i_ref[j, :] = jnp.full((scores.shape[0],), -1, jnp.int32)
+    # Threshold skip: if no query sees a score above its running k-th
+    # best, this whole block is provably outside every global top-k —
+    # write sentinels and move on. The steady-state block then costs one
+    # matmul + one max pass (DMA-bound); the k-extraction loop only runs
+    # for the handful of blocks that actually carry top-k rows.
+    block_max = jnp.max(scores, axis=1)             # [Qp]
+    tau = thresh_ref[0, :]
+    qp = scores.shape[0]
+
+    @pl.when(jnp.any(block_max > tau))
+    def _extract():
+        # Iterative max-extraction: k is small (10s), so k cross-lane-reduce
+        # passes over the [Qp, B] block cost less than any in-kernel sort.
+        s = scores
+        kth = block_max
+        for j in range(k):
+            best = jnp.max(s, axis=1)
+            best_idx = jnp.argmax(s, axis=1).astype(jnp.int32)
+            out_s_ref[j, :] = best
+            out_i_ref[j, :] = best_idx + base
+            hit = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                == best_idx[:, None]
+            )
+            s = jnp.where(hit, _NEG, s)
+            kth = best
+        # Rows padding k up to the 8-sublane tile carry the masked sentinel
+        # so the global merge can never pick them.
+        for j in range(k, k_pad):
+            out_s_ref[j, :] = jnp.full((qp,), _NEG, jnp.float32)
+            out_i_ref[j, :] = jnp.full((qp,), -1, jnp.int32)
+        # tau only grows: the k-th best within any single block lower-bounds
+        # nothing ABOVE the global k-th, so max(tau, kth) stays a valid
+        # skip threshold.
+        thresh_ref[0, :] = jnp.maximum(tau, kth)
+
+    @pl.when(jnp.logical_not(jnp.any(block_max > tau)))
+    def _skip():
+        for j in range(k_pad):
+            out_s_ref[j, :] = jnp.full((qp,), _NEG, jnp.float32)
+            out_i_ref[j, :] = jnp.full((qp,), -1, jnp.int32)
 
 
 @functools.partial(
@@ -117,11 +156,13 @@ def masked_topk(
         interpret = jax.default_backend() != "tpu"
     n, d = table.shape
     qn = queries.shape[0]
+    itemsize = jnp.dtype(table.dtype).itemsize
     block_rows = min(block_rows, _round_up(n, 8))
     # VMEM guard: the unrolled k-loop keeps a few live [qp, B] f32 copies
     # plus the double-buffered table block; clamp the block so scoped VMEM
-    # stays well under the ~16 MB budget (block 8192 at D=128 OOMs).
-    while block_rows > 512 and block_rows * d * 4 > 2 * 1024 * 1024:
+    # stays well under the ~16 MB budget. The bound is on table BYTES per
+    # block, so bf16 tables stream 2x the rows per grid step.
+    while block_rows > 512 and block_rows * d * itemsize > 2 * 1024 * 1024:
         block_rows //= 2
     # Single-block grids gain nothing from the Pallas pipeline (no DMA to
     # overlap) and pay a full Mosaic compile — on remote-attached TPUs that
@@ -159,6 +200,7 @@ def masked_topk(
         head_arr = jnp.zeros((1, 2), jnp.float32)
     else:
         head_arr = head.astype(jnp.float32).reshape(1, 2)
+    qlive_row = jnp.pad(jnp.ones((1, qn), jnp.float32), ((0, 0), (0, qp - qn)))
 
     kernel = functools.partial(
         _topk_kernel,
@@ -176,6 +218,7 @@ def masked_topk(
             pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -186,14 +229,15 @@ def masked_topk(
             jax.ShapeDtypeStruct((nb * k_pad, qp), jnp.float32),
             jax.ShapeDtypeStruct((nb * k_pad, qp), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((8, qp), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            # Blocks write disjoint outputs; a parallel grid lets Mosaic
-            # software-pipeline the next block's DMA behind this block's
-            # extraction loop.
-            dimension_semantics=("parallel",),
+            # The grid must run in order: the running-threshold scratch
+            # carries across blocks (skip logic). The table block DMA still
+            # software-pipelines ahead of the (usually skipped) extraction.
+            dimension_semantics=("arbitrary",),
         ),
-    )(queries_p, table_p, mask_row, excl_row, head_arr)
+    )(queries_p, table_p, mask_row, excl_row, qlive_row, head_arr)
 
     # Exact global merge over nb*k candidates per query (tiny, XLA top_k).
     cand_s = block_s.T  # [qp, nb*k]

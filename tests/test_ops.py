@@ -260,3 +260,58 @@ def test_quantized_topk_single_block_and_k_gt_valid():
     vals, idx = np.asarray(vals), np.asarray(idx)
     assert (idx[:, :5] < 5).all()
     assert (vals[:, 5:] <= -1e29).all()
+
+
+def test_topk_threshold_skip_ascending_scores():
+    """Adversarial order for the running-threshold skip: scores strictly
+    increase with row index, so EVERY block beats the threshold and the
+    true top-k lives in the LAST block — a wrong skip would be visible."""
+    import numpy as np
+    from anime_recommendations_tpu.ops.topk import masked_topk
+
+    n, d = 4096 + 513, 16  # multi-block with a ragged tail
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # Rows proportional to q0 with growing magnitude after normalization
+    # tricks don't apply (cosine is scale-free); instead build rows whose
+    # cosine with each query increases with index: interpolate toward q0.
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    t = np.linspace(0, 1, n, dtype=np.float32)[:, None] ** 2
+    W = (1 - t) * base + t * 40.0 * q[0]
+    W /= np.linalg.norm(W, axis=1, keepdims=True)
+
+    vals, idx = masked_topk(jnp.asarray(W), jnp.asarray(q), k=7, block_rows=1024)
+    scores = W @ q.T
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for i in range(3):
+        # Value-exact (the construction saturates cosine near 1.0, so index
+        # sets are tie-ambiguous); indices must score what they claim.
+        np.testing.assert_allclose(
+            vals[i], np.sort(scores[:, i])[::-1][:7], rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(scores[idx[i], i], vals[i], rtol=1e-6)
+
+
+def test_topk_descending_scores_triggers_skips():
+    """Top-k all in the FIRST block: later blocks must be skipped yet still
+    emit sentinel candidates that the merge ignores."""
+    import numpy as np
+    from anime_recommendations_tpu.ops.topk import masked_topk
+
+    n, d = 3072, 16
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    t = np.linspace(1, 0, n, dtype=np.float32)[:, None] ** 2
+    W = (1 - t) * base + t * 40.0 * q[1]
+    W /= np.linalg.norm(W, axis=1, keepdims=True)
+
+    vals, idx = masked_topk(jnp.asarray(W), jnp.asarray(q), k=5, block_rows=512)
+    scores = W @ q.T
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for i in range(2):
+        np.testing.assert_allclose(
+            vals[i], np.sort(scores[:, i])[::-1][:5], rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(scores[idx[i], i], vals[i], rtol=1e-6)
