@@ -34,6 +34,29 @@ _STUDIO_POOL = [
 ]
 
 
+# Raw MAL-style ids are an affine map of the dense factor row (see
+# synth_ratings below); the inverses let the convergence harness recover
+# the teacher row for any raw id.
+USER_ID_STRIDE, USER_ID_BASE = 7, 11
+ANIME_ID_STRIDE, ANIME_ID_BASE = 13, 5
+TEACHER_GAIN = 3.0  # score = sigmoid(TEACHER_GAIN * affinity + noise)
+
+
+def planted_factors(
+    n_users: int, n_anime: int, latent_dim: int = 16, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.random.Generator]:
+    """The low-rank teacher behind synth_ratings: (U, V, continuing rng).
+
+    Factor row i corresponds to raw user_id i*USER_ID_STRIDE+USER_ID_BASE /
+    raw anime_id i*ANIME_ID_STRIDE+ANIME_ID_BASE. The returned generator has
+    consumed exactly the factor draws, so synth_ratings(seed=s) and
+    planted_factors(seed=s) agree bit-for-bit on U and V."""
+    rng = np.random.default_rng(seed)
+    U = rng.normal(size=(n_users, latent_dim)) / np.sqrt(latent_dim)
+    V = rng.normal(size=(n_anime, latent_dim)) / np.sqrt(latent_dim)
+    return U, V, rng
+
+
 def synth_ratings(
     n_users: int = 5000,
     n_anime: int = 1200,
@@ -44,9 +67,7 @@ def synth_ratings(
 ) -> pd.DataFrame:
     """user_stats.parquet-shaped frame: user_id, anime_id, rating,
     watching_status, watched_episodes. Ratings 1..10 from planted factors."""
-    rng = np.random.default_rng(seed)
-    U = rng.normal(size=(n_users, latent_dim)) / np.sqrt(latent_dim)
-    V = rng.normal(size=(n_anime, latent_dim)) / np.sqrt(latent_dim)
+    U, V, rng = planted_factors(n_users, n_anime, latent_dim, seed)
 
     # Popularity-skewed sampling (Zipf-ish) to mimic hot anime/users.
     user_p = _zipf_probs(n_users, rng)
@@ -55,7 +76,7 @@ def synth_ratings(
     anime = rng.choice(n_anime, size=n_interactions, p=anime_p)
 
     affinity = np.einsum("ij,ij->i", U[users], V[anime])
-    score = 1.0 / (1.0 + np.exp(-(affinity * 3.0 + rng.normal(0, noise, n_interactions))))
+    score = 1.0 / (1.0 + np.exp(-(affinity * TEACHER_GAIN + rng.normal(0, noise, n_interactions))))
     rating = np.clip(np.round(1 + 9 * score), 1, 10).astype(np.int64)
 
     episodes_total = rng.integers(1, 60, size=n_anime)
@@ -65,8 +86,8 @@ def synth_ratings(
     df = pd.DataFrame(
         {
             # Raw IDs deliberately non-contiguous, like MAL IDs.
-            "user_id": users * 7 + 11,
-            "anime_id": anime * 13 + 5,
+            "user_id": users * USER_ID_STRIDE + USER_ID_BASE,
+            "anime_id": anime * ANIME_ID_STRIDE + ANIME_ID_BASE,
             "rating": rating,
             "watching_status": status,
             "watched_episodes": watched,

@@ -12,7 +12,12 @@ sharding/collective structure but NOT real ICI bandwidth.
 
 Usage:
     python -m anime_recommendations_tpu.parallel.scaling_bench \
-        --meshes 1x1 2x1 4x1 4x2 --steps 30 --batch 8192
+        --meshes 1x1 2x1 4x1 4x2 --steps 30 --batch 8192 --cpu-devices 8
+
+``--cpu-devices N`` flips jax to an N-device virtual CPU topology in-process
+(env vars are too late here: the environment's sitecustomize injects a TPU
+PJRT plugin at interpreter startup — same workaround as tests/conftest.py).
+Omit it to run on the real device(s).
 """
 
 from __future__ import annotations
@@ -33,9 +38,10 @@ def measure_mesh(
     batch: int,
     steps: int,
     seed: int = 0,
+    routing: str = "alltoall",
+    optimizer: str = "adam",
 ) -> dict:
     import jax
-    import jax.numpy as jnp
 
     from anime_recommendations_tpu.parallel.mesh import make_mesh, pad_rows_for_shards
     from anime_recommendations_tpu.parallel.sharded_train import (
@@ -46,25 +52,36 @@ def measure_mesh(
 
     n_dev = data_axis * model_axis
     mesh = make_mesh(data_axis, model_axis, devices=jax.devices()[:n_dev])
-    step = ShardedTrainStep(mesh, l2_reg_factor=1e-4)
-    n_users_p = pad_rows_for_shards(n_users, model_axis)
+    step = ShardedTrainStep(
+        mesh, l2_reg_factor=1e-4, routing=routing, optimizer=optimizer
+    )
+    # alltoall row-shards BOTH tables over the whole mesh; psum shards only
+    # the user table over 'model' and replicates the anime table.
+    if routing == "alltoall":
+        n_users_p = pad_rows_for_shards(n_users, n_dev)
+        n_anime_p = pad_rows_for_shards(n_anime, n_dev)
+    else:
+        n_users_p = pad_rows_for_shards(n_users, model_axis)
+        n_anime_p = n_anime
     state = place_state(
-        init_train_state(jax.random.PRNGKey(seed), n_users_p, n_anime,
+        init_train_state(jax.random.PRNGKey(seed), n_users_p, n_anime_p,
                          embedding_size),
         mesh,
+        routing=routing,
     )
     rng = np.random.default_rng(seed)
+    bspec = step.batch_sharding()
     n_batches = 4
     batches = [
         (
-            jnp.asarray(rng.integers(0, n_users, batch), jnp.int32),
-            jnp.asarray(rng.integers(0, n_anime, batch), jnp.int32),
-            jnp.asarray(rng.uniform(0, 1, batch), jnp.float32),
-            jnp.ones(batch, jnp.float32),
+            jax.device_put(rng.integers(0, n_users, batch).astype(np.int32), bspec),
+            jax.device_put(rng.integers(0, n_anime, batch).astype(np.int32), bspec),
+            jax.device_put(rng.uniform(0, 1, batch).astype(np.float32), bspec),
+            jax.device_put(np.ones(batch, np.float32), bspec),
         )
         for _ in range(n_batches)
     ]
-    lr = jnp.float32(5e-5)
+    lr = np.float32(5e-5)
 
     def run(state, n):
         loss = None
@@ -82,6 +99,8 @@ def measure_mesh(
     return {
         "mesh": f"{data_axis}x{model_axis}",
         "devices": n_dev,
+        "routing": routing,
+        "optimizer": optimizer,
         "examples_per_sec": steps * batch / dt,
         "step_ms": dt / steps * 1e3,
     }
@@ -95,13 +114,31 @@ def main(argv=None) -> None:
     parser.add_argument("--users", type=int, default=91_641)
     parser.add_argument("--anime", type=int, default=17_560)
     parser.add_argument("--emb", type=int, default=128)
+    parser.add_argument("--routing", choices=["alltoall", "psum"],
+                        default="alltoall")
+    parser.add_argument("--optimizer", choices=["adam", "lazy_adam"],
+                        default="adam")
+    parser.add_argument("--cpu-devices", type=int, default=0,
+                        help="force an N-device virtual CPU topology")
+    parser.add_argument("--weak", action="store_true",
+                        help="weak scaling: global batch = --batch * devices "
+                             "(the reference's num_replicas_in_sync scaling, "
+                             "neural_network.py:176-177)")
     args = parser.parse_args(argv)
+
+    if args.cpu_devices:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
 
     results = []
     for shape in args.meshes:
         d, m = (int(x) for x in shape.split("x"))
+        batch = args.batch * (d * m if args.weak else 1)
         res = measure_mesh(
-            d, m, args.users, args.anime, args.emb, args.batch, args.steps
+            d, m, args.users, args.anime, args.emb, batch, args.steps,
+            routing=args.routing, optimizer=args.optimizer,
         )
         results.append(res)
         print(json.dumps(res), flush=True)
