@@ -125,6 +125,10 @@ class ParallelConfig:
     # row crosses the interconnect once, tables sharded over the whole
     # mesh) or "psum" (legacy dense block all-reduce, comparison baseline).
     routing: str = "alltoall"
+    # All-to-all per-(sender, owner) slot count; 0 = auto (2x the uniform
+    # expectation). Lower = less wire per round, more overflow rounds under
+    # hot-row skew; the trainer logs measured rounds per sampled batch.
+    capacity: int = 0
 
 
 @dataclass

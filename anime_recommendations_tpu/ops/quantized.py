@@ -29,7 +29,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from anime_recommendations_tpu.ops.topk import _NEG, _round_up
+from anime_recommendations_tpu.ops.topk import (
+    _NEG,
+    _round_up,
+    GROUP,
+    IDX_BITS,
+    _INT_MIN,
+    _float_key,
+    key_threshold,
+)
 
 DEFAULT_BLOCK_ROWS = 4096   # int8 rows are 4x smaller; same ~0.5 MB/block
 
@@ -50,23 +58,8 @@ def quantize_rows(table: jax.Array) -> QuantizedTable:
     return QuantizedTable(q=q, scale=scale, f32=table)
 
 
-GROUP = 512          # lanes per extraction group
-IDX_BITS = 9         # log2(GROUP): index packed into the key's low bits
-_INT_MIN = -(2 ** 31)  # int32 min as a python int (jnp constants get captured)
-
-
-def _float_key(scores: jax.Array) -> jax.Array:
-    """Order-preserving f32 -> int32 map (negatives un-reversed)."""
-    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
-    return jnp.where(bits >= 0, bits, jnp.int32(_INT_MIN) - bits)
-
-
-def key_threshold(x: float) -> int:
-    """Host-side _float_key for liveness thresholds."""
-    import numpy as np
-
-    bits = int(np.float32(x).view(np.int32))
-    return bits if bits >= 0 else -(2 ** 31) - bits
+# GROUP/IDX_BITS/_float_key/key_threshold live in ops/topk.py (shared with
+# the float two-stage path, which adopted this kernel's extraction scheme).
 
 
 def _int8_topk_kernel(
@@ -165,8 +158,10 @@ def _quantized_candidates(
     # int8 arrays tile at (32, 128): the query block's sublane dim must be
     # a multiple of 32.
     qp = _round_up(max(qn, 1), max(lane_pad, 32))
-    n_pad = _round_up(n, block_rows)
-    nb = n_pad // block_rows
+    # The table/scales are NOT padded: the ragged trailing block reads
+    # undefined rows, which the kernel kills via rows < n_valid (padding
+    # would jnp.pad-COPY the whole table in HBM per call — see ops/topk.py).
+    nb = -(-n // block_rows)
     # Per-group depth: 3 covers m=4k pools with overwhelming probability
     # (a true-top-k miss needs >top_r of the k winners in ONE 512-row
     # group); deepen with m when the caller asks for a large pool.
@@ -177,14 +172,11 @@ def _quantized_candidates(
 
     q_p = jnp.pad(q_int, ((0, qp - qn), (0, 0)))
     qs_p = jnp.pad(q_scale.reshape(1, qn), ((0, 0), (0, qp - qn)))
-    w_p = jnp.pad(qt_q, ((0, n_pad - n), (0, 0)))
-    ws_p = jnp.pad(qt_scale.reshape(1, n), ((0, 0), (0, n_pad - n)))
+    ws_row = qt_scale.reshape(1, n)
     if mask is None:
-        mask_row = jnp.ones((1, n_pad), jnp.float32)
+        mask_row = jnp.ones((1, n), jnp.float32)
     else:
-        mask_row = jnp.pad(
-            mask.astype(jnp.float32).reshape(1, n), ((0, 0), (0, n_pad - n))
-        )
+        mask_row = mask.astype(jnp.float32).reshape(1, n)
     if exclude is None:
         excl_row = jnp.full((1, qp), -1, jnp.int32)
     else:
@@ -223,7 +215,7 @@ def _quantized_candidates(
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
-    )(q_p, qs_p, w_p, ws_p, mask_row, excl_row, head_arr)
+    )(q_p, qs_p, qt_q, ws_row, mask_row, excl_row, head_arr)
 
     cand_s = block_s.T        # packed int32 keys; int order == score order
     cand_i = block_i.T

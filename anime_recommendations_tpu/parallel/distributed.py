@@ -33,8 +33,6 @@ def initialize(
     (metadata on Cloud TPU VMs) or JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized by the launcher
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
@@ -43,13 +41,20 @@ def initialize(
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
-        # Single-host run; nothing to initialize.
-        return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        # Single-host run; nothing to initialize. (Do NOT probe
+        # jax.process_count() before this point — it would boot the XLA
+        # backend and make a later distributed init impossible.)
+        return jax.process_count() > 1
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # Already initialized by the launcher, or the backend was already
+        # booted by earlier single-process work in this interpreter.
+        logger.warning("jax.distributed.initialize skipped: %s", e)
     logger.info(
         "jax.distributed initialized: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),
@@ -71,3 +76,133 @@ def host_batch_slice(global_batch: int) -> slice:
     per = global_batch // n
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)
+
+
+# ---- multi-process worker ----------------------------------------------------------
+#
+# `python -m anime_recommendations_tpu.parallel.distributed --worker ...` runs
+# ONE ShardedTrainStep under a real multi-process jax runtime: every host
+# process calls initialize(), builds the same global mesh, feeds ONLY its
+# host_batch_slice of the global batch, and executes the SPMD step whose
+# collectives now cross process boundaries. This is the executable template
+# for a pod-slice launch (one process per host) and the target of the
+# 2-process CPU test (tests/test_distributed.py) — the engine equivalent of
+# the reference's TPUClusterResolver.connect() + strategy.scope() training
+# (neural_network.py:142-144,174-178).
+
+
+def worker_step(
+    data_axis: int,
+    model_axis: int,
+    n_users: int = 1024,
+    n_anime: int = 256,
+    batch: int = 512,
+    steps: int = 2,
+    optimizer: str = "adam",
+    seed: int = 0,
+) -> dict:
+    """Run ``steps`` sharded train steps across all processes; returns
+    {process, n_processes, devices, loss, mse} (loss/mse identical on every
+    process — they are psum'd over the whole mesh)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from anime_recommendations_tpu.parallel.mesh import (
+        DATA_AXIS,
+        MODEL_AXIS,
+        pad_rows_for_shards,
+    )
+    from anime_recommendations_tpu.parallel.sharded_train import (
+        ShardedTrainStep,
+        _map_tables,
+        state_shardings,
+    )
+    from anime_recommendations_tpu.parallel import routing as rt
+    from anime_recommendations_tpu.train.trainer import init_train_state
+
+    n_dev = data_axis * model_axis
+    devices = jax.devices()[:n_dev]
+    if len(devices) != n_dev:
+        raise ValueError(f"need {n_dev} devices, have {len(devices)}")
+    # Plain row-major device order (NOT mesh_utils): device ids are
+    # process-contiguous, so the batch's 'data' split lines up with
+    # host_batch_slice — each host feeds exactly its own devices.
+    mesh = Mesh(np.array(devices).reshape(data_axis, model_axis),
+                (DATA_AXIS, MODEL_AXIS))
+    step = ShardedTrainStep(mesh, l2_reg_factor=1e-4, optimizer=optimizer)
+
+    # Identical host-side init on every process (same seed), placed shard-
+    # by-shard: make_array_from_callback materializes only the shards this
+    # process' devices own.
+    n_users_p = pad_rows_for_shards(n_users, n_dev)
+    n_anime_p = pad_rows_for_shards(n_anime, n_dev)
+    state = init_train_state(jax.random.PRNGKey(seed), n_users_p, n_anime_p, 32)
+    state = _map_tables(state, lambda t: rt.to_physical(np.asarray(t), n_dev))
+
+    def place(x, sharding):
+        host = np.asarray(x)
+        return jax.make_array_from_callback(host.shape, sharding,
+                                            lambda idx: host[idx])
+
+    state = jax.tree.map(place, state, state_shardings(mesh))
+
+    # Host-local feeding: each process materializes ONLY its slice of the
+    # global batch (the tf.data-sharding analog, SURVEY.md §5.8).
+    rng = np.random.default_rng(seed + 1)
+    bspec = step.batch_sharding()
+    sl = host_batch_slice(batch)
+
+    def feed(col):
+        return jax.make_array_from_process_local_data(bspec, col[sl])
+
+    loss = mse = None
+    lr = np.float32(5e-5)
+    for i in range(steps):
+        # Same stream on every process; each keeps only its slice.
+        users = rng.integers(0, n_users, batch).astype(np.int32)
+        anime = rng.integers(0, n_anime, batch).astype(np.int32)
+        ratings = rng.uniform(0, 1, batch).astype(np.float32)
+        weights = np.ones(batch, np.float32)
+        state, loss, mse = step.train_step(
+            state, feed(users), feed(anime), feed(ratings), feed(weights), lr
+        )
+    return {
+        "process": jax.process_index(),
+        "n_processes": jax.process_count(),
+        "devices": jax.device_count(),
+        "loss": float(loss),
+        "mse": float(mse),
+    }
+
+
+def main(argv=None) -> None:
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--worker", action="store_true")
+    parser.add_argument("--cpu-devices", type=int, default=0,
+                        help="local virtual CPU devices for this process")
+    parser.add_argument("--data-axis", type=int, default=-1)
+    parser.add_argument("--model-axis", type=int, default=1)
+    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--steps", type=int, default=2)
+    parser.add_argument("--optimizer", default="adam")
+    args = parser.parse_args(argv)
+
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    initialize()
+    data_axis = args.data_axis
+    if data_axis == -1:
+        data_axis = jax.device_count() // args.model_axis
+    out = worker_step(
+        data_axis, args.model_axis, batch=args.batch, steps=args.steps,
+        optimizer=args.optimizer,
+    )
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

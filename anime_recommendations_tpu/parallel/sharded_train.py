@@ -159,6 +159,7 @@ class ShardedTrainStep:
         shard_anime: bool = False,
         routing: str = "alltoall",
         optimizer: str = "adam",
+        capacity: int | None = None,
     ):
         if routing not in ("alltoall", "psum"):
             raise ValueError(f"unknown routing {routing!r}")
@@ -173,6 +174,10 @@ class ShardedTrainStep:
         self.shard_anime = shard_anime
         self.routing = routing
         self.optimizer = optimizer
+        # Per-(sender, owner) all-to-all slot count; None = default_capacity
+        # (2x the uniform expectation). Lower trades wire bytes for more
+        # overflow rounds under skew; tune with routing.plan_stats logs.
+        self.capacity = capacity
         self._n_shards = int(mesh.devices.size) if routing == "alltoall" else None
         # Axes the batch is split over == axes batch statistics reduce over.
         self._baxes = FULL_AXES if routing == "alltoall" else DATA_AXIS
@@ -203,11 +208,16 @@ class ShardedTrainStep:
 
     # ---- lookups ----------------------------------------------------------------
 
+    def _capacity(self, batch_per_device: int) -> int:
+        if self.capacity is not None:
+            return max(1, min(batch_per_device, self.capacity))
+        return rt.default_capacity(batch_per_device, self._n_shards)
+
     def _lookup_user(self, table_local, ids):
         if self.routing == "alltoall":
             return rt.exchange_rows(
                 table_local, ids, axis=FULL_AXES, n_shards=self._n_shards,
-                capacity=rt.default_capacity(ids.shape[0], self._n_shards),
+                capacity=self._capacity(ids.shape[0]),
             )
         return _sharded_lookup(table_local, ids, MODEL_AXIS)
 
@@ -215,7 +225,7 @@ class ShardedTrainStep:
         if self.routing == "alltoall":
             return rt.exchange_rows(
                 table_local, ids, axis=FULL_AXES, n_shards=self._n_shards,
-                capacity=rt.default_capacity(ids.shape[0], self._n_shards),
+                capacity=self._capacity(ids.shape[0]),
             )
         if self.shard_anime:
             return _sharded_lookup(table_local, ids, MODEL_AXIS)
@@ -332,8 +342,8 @@ class ShardedTrainStep:
         params = state.params
         opt: optax.ScaleByAdamState = state.opt_state
         m = self._n_shards
-        cap_u = rt.default_capacity(users.shape[0], m)
-        cap_a = rt.default_capacity(anime.shape[0], m)
+        cap_u = self._capacity(users.shape[0])
+        cap_a = self._capacity(anime.shape[0])
         u_rows = rt.exchange_rows(
             params.user_emb, users, axis=FULL_AXES, n_shards=m, capacity=cap_u
         )

@@ -56,6 +56,10 @@ class ShardedTrainer(Trainer):
     # routed so each row crosses the wire once. "psum": legacy dense
     # [B, D] all-reduce routing over 'model' (comparison baseline).
     routing: str = "alltoall"
+    # Per-(sender, owner) all-to-all slot count; None = auto (2x the uniform
+    # expectation, routing.default_capacity). Lower = less wire per round
+    # but more overflow rounds under skew; see the plan-stats log.
+    capacity: int | None = None
 
     def __post_init__(self):
         super().__post_init__()  # optimizer validation
@@ -77,14 +81,19 @@ class ShardedTrainer(Trainer):
             shard_anime=self.shard_anime,
             routing=self.routing,
             optimizer=self.optimizer,
+            capacity=self.capacity,
         )
         if self.verbose:
             self._log_comm_budget()
 
+    def _effective_capacity(self) -> int:
+        b_dev = max(self.batch_size // self._n_batch_shards, 1)
+        return self._step._capacity(b_dev) if self.routing == "alltoall" else 0
+
     def _log_comm_budget(self):
         b_dev = max(self.batch_size // self._n_batch_shards, 1)
         m = self._n_table_shards
-        cap = rt.default_capacity(b_dev, m)
+        cap = self._effective_capacity() or rt.default_capacity(b_dev, m)
         a2a = rt.exchange_comm_bytes(b_dev, self.embedding_size, m, cap)
         ps = rt.psum_comm_bytes(
             max(self.batch_size // max(self._n_data, 1), 1),
@@ -95,6 +104,40 @@ class ShardedTrainer(Trainer):
             f"~{a2a/1e6:.2f} MB/step (all-to-all, capacity {cap}) vs "
             f"~{ps/1e6:.2f} MB/step (psum block all-reduce)"
         )
+
+    def _log_plan_stats(self, train):
+        """Measured (not estimated) routing stats on sampled real batches:
+        unique ids, the largest per-owner request bucket, and the all-to-all
+        round count the exchange will take at the configured capacity
+        (routing.plan_stats — 1 round is the steady state; >1 means skew
+        overflowed capacity and lazy-Adam semantics split per round)."""
+        import numpy as np
+
+        if self.routing != "alltoall":
+            return
+        m = self._n_table_shards
+        bs = min(self.batch_size, max(len(train), 1))
+        b_dev = max(bs // self._n_batch_shards, 1)
+        cap = self._step._capacity(b_dev)
+        rng = np.random.default_rng(self.seed)
+        n = len(train)
+        for name, ids in (("user", train.users), ("anime", train.anime)):
+            rounds_seen = []
+            for _ in range(min(4, max(n // bs, 1))):
+                sel = rng.choice(n, size=min(bs, n), replace=False)
+                # Per-device plan: stats for one device's batch shard.
+                shard = ids[sel][:b_dev]
+                uniq, mx, rounds = rt.plan_stats(shard, m, cap)
+                rounds_seen.append(int(rounds))
+                self.log_fn(
+                    f"plan[{name}]: B/dev={b_dev} unique={int(uniq)} "
+                    f"max_bucket={int(mx)} capacity={cap} rounds={int(rounds)}"
+                )
+            if max(rounds_seen) > 1:
+                self.log_fn(
+                    f"plan[{name}]: WARNING skew overflow — raise "
+                    f"parallel.capacity above {cap} to keep 1-round exchanges"
+                )
 
     # ---- backend hooks --------------------------------------------------------
 
@@ -107,6 +150,8 @@ class ShardedTrainer(Trainer):
         return place_state(state, self.mesh, self.shard_anime, self.routing)
 
     def fit(self, *args, **kwargs) -> TrainResult:
+        if self.verbose and args:
+            self._log_plan_stats(args[0])
         result = super().fit(*args, **kwargs)
         result.state = unstripe_state(result.state, self.mesh, self.routing)
         return result

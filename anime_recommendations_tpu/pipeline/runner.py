@@ -137,6 +137,13 @@ class PipelineRunner:
     def step_train(self) -> None:
         import jax
 
+        from anime_recommendations_tpu.parallel.distributed import initialize
+
+        # Multi-host runtime (TPUClusterResolver.connect() analog,
+        # /root/reference/neural_network/neural_network.py:142-144): no-op
+        # unless a coordinator is configured via env/auto-detection.
+        initialize()
+
         mc = self.cfg.model
         clean = pd.read_parquet(
             self.store.get("preprocessed_stats.parquet:latest").file()
@@ -169,6 +176,7 @@ class PipelineRunner:
             trainer = ShardedTrainer(
                 data_axis=pc.data_axis, model_axis=pc.model_axis,
                 shard_anime=pc.shard_anime_table, routing=pc.routing,
+                capacity=pc.capacity or None,
                 device_loop=mc.device_loop, optimizer=mc.optimizer, **common,
             )
         else:

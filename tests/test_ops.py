@@ -293,11 +293,10 @@ def test_topk_threshold_skip_ascending_scores():
         np.testing.assert_allclose(scores[idx[i], i], vals[i], rtol=1e-6)
 
 
-def test_topk_descending_scores_triggers_skips():
-    """Top-k all in the FIRST block: later blocks must be skipped yet still
-    emit sentinel candidates that the merge ignores."""
+def _adversarial_tied_table():
+    """Hundreds of rows within a float-tie of each other in the first block —
+    the worst case for the packed-key extraction (truncated keys tie)."""
     import numpy as np
-    from anime_recommendations_tpu.ops.topk import masked_topk
 
     n, d = 3072, 16
     rng = np.random.default_rng(1)
@@ -306,8 +305,19 @@ def test_topk_descending_scores_triggers_skips():
     t = np.linspace(1, 0, n, dtype=np.float32)[:, None] ** 2
     W = (1 - t) * base + t * 40.0 * q[1]
     W /= np.linalg.norm(W, axis=1, keepdims=True)
+    return W, q
 
-    vals, idx = masked_topk(jnp.asarray(W), jnp.asarray(q), k=5, block_rows=512)
+
+def test_topk_descending_scores_triggers_skips():
+    """exact_scan: top-k all in the FIRST block — later blocks must be
+    skipped yet still emit sentinel candidates that the merge ignores."""
+    import numpy as np
+    from anime_recommendations_tpu.ops.topk import masked_topk
+
+    W, q = _adversarial_tied_table()
+    vals, idx = masked_topk(
+        jnp.asarray(W), jnp.asarray(q), k=5, block_rows=512, exact_scan=True
+    )
     scores = W @ q.T
     vals, idx = np.asarray(vals), np.asarray(idx)
     for i in range(2):
@@ -315,3 +325,23 @@ def test_topk_descending_scores_triggers_skips():
             vals[i], np.sort(scores[:, i])[::-1][:5], rtol=1e-6, atol=1e-7
         )
         np.testing.assert_allclose(scores[idx[i], i], vals[i], rtol=1e-6)
+
+
+def test_topk_two_stage_adversarial_ties_bounded():
+    """The default two-stage path on the tied table: returned values must be
+    the EXACT scores of real returned rows, within the truncated-key tie
+    window (~2^-9 relative) of the true optimum — the documented worst-case
+    deviation of the packed extraction (ops/topk.py module docstring)."""
+    import numpy as np
+    from anime_recommendations_tpu.ops.topk import masked_topk
+
+    W, q = _adversarial_tied_table()
+    vals, idx = masked_topk(jnp.asarray(W), jnp.asarray(q), k=5, block_rows=512)
+    scores = W @ q.T
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for i in range(2):
+        # Self-consistency: values are the true scores of the returned rows.
+        np.testing.assert_allclose(scores[idx[i], i], vals[i], rtol=1e-6)
+        # Near-optimality within the tie window.
+        oracle = np.sort(scores[:, i])[::-1][:5]
+        np.testing.assert_allclose(vals[i], oracle, rtol=4e-3, atol=1e-4)
