@@ -1,0 +1,53 @@
+"""Accuracy-parity harness (train/convergence.py) at CI scale.
+
+The reference's accuracy baseline is its committed training history on the
+(stripped) 7M-row parquet (/root/reference/figure_file/anime_nn_history.csv
+row 14: train MSE 0.05074 / val MSE 0.07199). The harness substitutes a
+planted low-rank teacher so convergence and ranking recovery become
+measurable claims; the archived reference-scale result lives in
+artifacts/convergence/ (run via `python -m
+anime_recommendations_tpu.train.convergence --scale reference`). This test
+runs the same harness end-to-end at CI scale with thresholds calibrated on
+the committed CI_SCALE spec.
+"""
+
+import numpy as np
+
+from anime_recommendations_tpu.train.convergence import (
+    CI_SCALE,
+    run_convergence,
+)
+
+
+def test_ci_scale_convergence_and_recovery():
+    report = run_convergence(CI_SCALE, verbose=False)
+
+    # History carries the reference's golden header columns
+    # (anime_nn_history.csv: loss, mse, val_loss, val_mse, lr).
+    assert list(report.history.columns) == ["loss", "mse", "val_loss", "val_mse", "lr"]
+    assert report.n_users_trained == CI_SCALE.n_users
+    assert report.n_anime_trained == CI_SCALE.n_anime
+
+    # The model actually learns: val MSE improves on epoch 0 by a wide
+    # margin and approaches the Bayes floor. Calibrated run: epoch-0 val_mse
+    # ~0.034, best ~0.0141, floor ~0.0070 (ratio ~2.03).
+    first = float(report.history["val_mse"].iloc[0])
+    assert report.best_val_mse < 0.6 * first
+    assert report.noise_floor_mse > 0.0
+    assert report.floor_ratio < 2.6, (
+        f"best val MSE {report.best_val_mse:.5f} is "
+        f"{report.floor_ratio:.2f}x the Bayes floor {report.noise_floor_mse:.5f}"
+    )
+
+    # Ranking recovery: model_recs' scoring path recovers the planted
+    # teacher's top-10 far above chance (k/n_anime = 2.5% here). Calibrated
+    # CI value ~0.58; the reference-scale archived run is the headline
+    # number.
+    assert report.topk_overlap >= 0.40, f"top-k overlap {report.topk_overlap:.3f}"
+
+    # Early stopping bookkeeping is coherent.
+    assert 0 <= report.best_epoch < report.spec.epochs
+    assert np.isclose(
+        float(report.history["val_mse"].iloc[report.best_epoch]),
+        report.best_val_mse,
+    )
