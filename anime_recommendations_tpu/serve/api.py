@@ -42,11 +42,38 @@ def _records(frame: pd.DataFrame) -> list[dict]:
 
 
 class Engine:
-    """In-process query API over a built RecContext."""
+    """In-process query API over a built RecContext.
 
-    def __init__(self, ctx: RecContext, config: Config | None = None):
+    The similar-users scan (an O(n_users)-row cosine sweep) is the one
+    sub-query two endpoints repeat per request (/similar_users and the
+    first stage of /user_recs), so its results are LRU-cached per
+    (user_id, k, faves, TV_only). The tables are immutable for the
+    Engine's lifetime, so entries never go stale; ``cache_size=0``
+    disables caching.
+    """
+
+    def __init__(self, ctx: RecContext, config: Config | None = None,
+                 cache_size: int = 256):
+        import functools
+
         self.ctx = ctx
         self.cfg = config or Config()
+        self._similar_users = (
+            functools.lru_cache(maxsize=cache_size)(self._similar_users_scan)
+            if cache_size else self._similar_users_scan
+        )
+
+    def _similar_users_scan(self, user_id: int, k: int):
+        frame, _, _ = similar_users(
+            self.ctx, user_id, n_users=k,
+            num_faves=self.cfg.users.num_faves,
+            TV_only=self.cfg.users.TV_only,
+        )
+        return frame
+
+    def cache_info(self):
+        info = getattr(self._similar_users, "cache_info", None)
+        return None if info is None else info()._asdict()
 
     def similar_anime(self, name: str, k: int = 10, types=None, genres=None):
         frame, _, _ = similar_anime(self.ctx, name, count=k, types=types,
@@ -54,12 +81,7 @@ class Engine:
         return _records(frame)
 
     def similar_users(self, user_id: int, k: int = 10):
-        frame, _, _ = similar_users(
-            self.ctx, user_id, n_users=k,
-            num_faves=self.cfg.users.num_faves,
-            TV_only=self.cfg.users.TV_only,
-        )
-        return _records(frame)
+        return _records(self._similar_users(user_id, k))
 
     def user_prefs(self, user_id: int):
         prefs = user_prefs(
@@ -73,11 +95,7 @@ class Engine:
         }
 
     def user_recs(self, user_id: int, k: int = 10):
-        sim, _, _ = similar_users(
-            self.ctx, user_id, n_users=self.cfg.users.recs_n_sim_ID,
-            num_faves=self.cfg.users.num_faves,
-            TV_only=self.cfg.users.TV_only,
-        )
+        sim = self._similar_users(user_id, self.cfg.users.recs_n_sim_ID)
         frame, _ = user_recs(
             self.ctx, user_id, sim["similar_users"].to_numpy(), n=k,
             percentile=self.cfg.users.favorite_percentile,

@@ -43,6 +43,27 @@ def test_engine_methods(built):
     assert isinstance(urecs, list)
 
 
+def test_engine_similar_users_cache(built):
+    ctx = RecContext.build(*built)
+    engine = Engine(ctx, Config())
+    uid = int(ctx.vocab.user_ids[1])
+
+    first = engine.similar_users(uid, k=3)
+    info = engine.cache_info()
+    assert info["misses"] == 1 and info["hits"] == 0
+    assert engine.similar_users(uid, k=3) == first
+    assert engine.cache_info()["hits"] == 1
+    # user_recs' first stage reuses the cached scan for its own k.
+    engine.user_recs(uid, k=5)
+    engine.user_recs(uid, k=5)
+    info = engine.cache_info()
+    assert info["misses"] == 2 and info["hits"] == 2  # second call fully cached
+    # cache_size=0 disables caching entirely.
+    uncached = Engine(ctx, Config(), cache_size=0)
+    uncached.similar_users(uid, k=3)
+    assert uncached.cache_info() is None
+
+
 def test_bf16_retrieval_context_close_to_f32(built):
     params, bn, vocab, catalog, encoded = built
     f32 = RecContext.build(params, bn, vocab, catalog, encoded)
