@@ -18,9 +18,33 @@ known, two claims become *measurable* instead of asserted:
      floor of the generative process (the MSE of the Bayes-optimal
      predictor E[rating | user, anime]) within a small multiple.
   2. RANKING RECOVERY: model_recs' scoring path (ops/scoring) recovers the
-     teacher's top-k unwatched anime for well-observed probe users at high
-     overlap — value-level evidence the trained tables are usable for
-     retrieval, not just loss-minimizing.
+     teacher's top-k unwatched anime for well-observed probe users — value-
+     level evidence the trained tables are usable for retrieval, not just
+     loss-minimizing.
+
+Ranking recovery is measured against TWO oracles, because the model class
+itself bounds what is recoverable. The reference's head is
+``Dot(normalize=True)`` (/root/reference/neural_network/neural_network.py:90-93)
+— a cosine: it L2-normalizes both embeddings, so per-user ranking can only
+depend on the *direction* of each item vector, never its magnitude. The
+planted teacher ranks by unnormalized ``u . v``; items with large ``||v||``
+outrank direction-aligned ones in a way NO cosine two-tower (ours or the
+reference's) can express. Measured at reference scale (91,641 x 17,560,
+latent 16, seed 0): ranking by the teacher's own *normalized* factors —
+perfect direction learning, the architecture's ceiling — only overlaps the
+raw-teacher top-10 at **0.275**, and its top-200 captures the teacher top-10
+at 0.975 recall. The harness therefore reports:
+
+  * ``topk_overlap``            model top-k vs raw-teacher top-k, with
+    ``arch_ceiling_overlap``    the normalized-factor oracle's overlap on
+                                the same probes (the model-class ceiling);
+  * ``expressible_overlap``     model top-k vs the *expressible* oracle
+                                (teacher ranking by normalized item factors
+                                — ceiling 1.0 by construction);
+  * ``topk_recall``             fraction of raw-teacher top-k found in the
+    model top-``recall_K``, with ``recall_ceiling`` the oracle's recall at
+    the same K — the candidate-generation claim that actually matters for
+    a recommender surface.
 
 Deviation from the reference pipeline, documented: the >=400-ratings user
 filter (preprocess.py:37-39) is skipped (num_reviews=0). The reference's
@@ -81,6 +105,7 @@ class ConvergenceSpec:
     # Evaluation.
     n_probe_users: int = 100    # heaviest raters; tail users are under-observed
     k: int = 10                 # model_recs default top-10
+    recall_K: int = 200         # candidate-list size for the recall claim
     mc_draws: int = 256         # noise-floor Monte Carlo draws per holdout pair
 
 
@@ -93,7 +118,7 @@ REFERENCE_SCALE = ConvergenceSpec(
 CI_SCALE = ConvergenceSpec(
     n_users=1_500, n_anime=400, n_interactions=200_000,
     test_size=5_000, n_probe_users=50, epochs=20, batch_size=2_000,
-    start_lr=2e-4, max_lr=1e-3, min_lr=2e-4,
+    start_lr=2e-4, max_lr=1e-3, min_lr=2e-4, recall_K=50,
 )
 
 
@@ -106,7 +131,11 @@ class ConvergenceReport:
     best_val_mse: float
     noise_floor_mse: float
     floor_ratio: float          # best_val_mse / noise_floor_mse
-    topk_overlap: float         # mean |model top-k  ∩  teacher top-k| / k
+    topk_overlap: float         # mean |model top-k ∩ raw-teacher top-k| / k
+    arch_ceiling_overlap: float  # normalized-factor oracle vs raw teacher
+    expressible_overlap: float   # model vs the expressible (cosine) oracle
+    topk_recall: float           # raw-teacher top-k found in model top-K
+    recall_ceiling: float        # same, for the expressible oracle
     n_users_trained: int
     n_anime_trained: int
     examples_per_sec: float
@@ -165,6 +194,15 @@ def noise_floor_mse(
     return float(np.mean((holdout.ratings.astype(np.float64) - y_hat) ** 2))
 
 
+@dataclass(frozen=True)
+class RecoveryMetrics:
+    topk_overlap: float
+    arch_ceiling_overlap: float
+    expressible_overlap: float
+    topk_recall: float
+    recall_ceiling: float
+
+
 def topk_recovery(
     params: TwoTowerParams,
     bn_state: BNState,
@@ -174,33 +212,55 @@ def topk_recovery(
     V: np.ndarray,
     n_probe_users: int,
     k: int,
-) -> float:
-    """Mean overlap between the model's top-k unwatched anime (the
-    model_recs scoring path, ops/scoring.score_all_items) and the teacher's
-    top-k by true affinity, over the ``n_probe_users`` heaviest raters."""
+    recall_K: int,
+) -> RecoveryMetrics:
+    """Ranking-recovery metrics over the ``n_probe_users`` heaviest raters.
+
+    The model's scores come through the real model_recs scoring path
+    (ops/scoring.score_all_items). Three reference rankings per probe user
+    (watched anime masked out of all of them):
+
+    * raw teacher  ``t = V @ U[u]`` — the generative ranking;
+    * expressible oracle ``o = (V / ||V||) @ U[u]`` — the best ranking any
+      cosine two-tower can express (direction-only; see module docstring);
+    * the model's own ranking ``m``.
+    """
     from anime_recommendations_tpu.ops.scoring import score_all_items
 
     u_rows, a_rows = _teacher_rows(vocab)
     V_vocab = V[a_rows]  # [n_anime_vocab, latent] — teacher rows in vocab order
+    V_unit = V_vocab / np.linalg.norm(V_vocab, axis=1, keepdims=True)
+    recall_K = min(recall_K, V_vocab.shape[0] - 1)
 
     counts = encoded["user"].value_counts()
     probes = counts.index.to_numpy()[:n_probe_users]
     by_user = encoded.groupby("user")["anime"]
 
     score_fn = jax.jit(score_all_items)
-    overlaps = []
+    o_mt, o_ot, o_mo, r_m, r_o = [], [], [], [], []
     for u_dense in probes:
         watched = by_user.get_group(u_dense).to_numpy()
-        # Teacher ranking by affinity (monotone in expected rating).
         t = V_vocab @ U[u_rows[u_dense]]
-        t[watched] = -np.inf
-        teacher_top = set(np.argpartition(-t, k)[:k].tolist())
-        # Model ranking through the real scoring path.
+        o = V_unit @ U[u_rows[u_dense]]
         m = np.asarray(score_fn(params, bn_state, int(u_dense)), np.float64)
-        m[watched] = -np.inf
-        model_top = set(np.argpartition(-m, k)[:k].tolist())
-        overlaps.append(len(teacher_top & model_top) / k)
-    return float(np.mean(overlaps))
+        t[watched] = o[watched] = m[watched] = -np.inf
+        top_t = set(np.argpartition(-t, k)[:k].tolist())
+        top_o = set(np.argpartition(-o, k)[:k].tolist())
+        top_m = set(np.argpartition(-m, k)[:k].tolist())
+        big_m = set(np.argpartition(-m, recall_K)[:recall_K].tolist())
+        big_o = set(np.argpartition(-o, recall_K)[:recall_K].tolist())
+        o_mt.append(len(top_m & top_t) / k)
+        o_ot.append(len(top_o & top_t) / k)
+        o_mo.append(len(top_m & top_o) / k)
+        r_m.append(len(big_m & top_t) / k)
+        r_o.append(len(big_o & top_t) / k)
+    return RecoveryMetrics(
+        topk_overlap=float(np.mean(o_mt)),
+        arch_ceiling_overlap=float(np.mean(o_ot)),
+        expressible_overlap=float(np.mean(o_mo)),
+        topk_recall=float(np.mean(r_m)),
+        recall_ceiling=float(np.mean(r_o)),
+    )
 
 
 def run_convergence(
@@ -258,9 +318,9 @@ def run_convergence(
         holdout, vocab, U, V, lo, hi, spec.noise, n_draws=spec.mc_draws
     )
     best_val_mse = float(result.history["val_mse"].iloc[result.best_epoch])
-    overlap = topk_recovery(
+    rec = topk_recovery(
         result.state.params, result.state.bn_state, vocab, encoded,
-        U, V, spec.n_probe_users, spec.k,
+        U, V, spec.n_probe_users, spec.k, spec.recall_K,
     )
     report = ConvergenceReport(
         spec=spec,
@@ -270,7 +330,11 @@ def run_convergence(
         best_val_mse=best_val_mse,
         noise_floor_mse=floor,
         floor_ratio=best_val_mse / floor,
-        topk_overlap=overlap,
+        topk_overlap=rec.topk_overlap,
+        arch_ceiling_overlap=rec.arch_ceiling_overlap,
+        expressible_overlap=rec.expressible_overlap,
+        topk_recall=rec.topk_recall,
+        recall_ceiling=rec.recall_ceiling,
         n_users_trained=vocab.n_users,
         n_anime_trained=vocab.n_anime,
         examples_per_sec=result.examples_per_sec,
@@ -280,8 +344,12 @@ def run_convergence(
         log_fn(
             f"[convergence] best val_mse {best_val_mse:.5f} (epoch "
             f"{report.best_epoch}) vs noise floor {floor:.5f} -> ratio "
-            f"{report.floor_ratio:.3f}; top-{spec.k} teacher overlap "
-            f"{overlap:.3f}; total {time.perf_counter() - t0:.0f}s"
+            f"{report.floor_ratio:.3f}; top-{spec.k} overlap "
+            f"{rec.topk_overlap:.3f} (arch ceiling "
+            f"{rec.arch_ceiling_overlap:.3f}, vs expressible oracle "
+            f"{rec.expressible_overlap:.3f}); recall@{spec.recall_K} "
+            f"{rec.topk_recall:.3f} (ceiling {rec.recall_ceiling:.3f}); "
+            f"total {time.perf_counter() - t0:.0f}s"
         )
     return report
 

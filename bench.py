@@ -106,6 +106,39 @@ def main() -> None:
     details["train_epoch_secs_2M_rows"] = round(epoch_secs, 3)
     details["train_examples_per_sec"] = round(examples_per_sec)
 
+    # Full-dataset scale (README.md:45: >350K users): dense vs row-sparse
+    # LazyAdam on a 350,000 x 128 user table. Dense streams O(table) moments
+    # every step; lazy touches only batch rows — the crossover NOTES_PERF.md
+    # documents, captured here so the driver records it.
+    n_users_full, full_rows = 350_000, 1_000_000
+    ds_full = RatingsDataset(
+        users=rng.integers(0, n_users_full, full_rows).astype(np.int32),
+        anime=rng.integers(0, n_anime, full_rows).astype(np.int32),
+        ratings=rng.uniform(0, 1, full_rows).astype(np.float32),
+    )
+    data_full = dl.stage(ds_full, batch, seed=0)
+    for opt in ("adam", "lazy_adam"):
+        st = init_train_state(jax.random.PRNGKey(2), n_users_full, n_anime, d)
+        st, losses, _, _ = dl.train_epoch(
+            st, data_full, key, lr, batch, l2, sorted_scatter=True,
+            optimizer=opt,
+        )
+        float(losses[-1])
+        seg = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            st, losses, _, _ = dl.train_epoch(
+                st, data_full, jax.random.fold_in(key, 10 + rep), lr, batch,
+                l2, sorted_scatter=True, optimizer=opt,
+            )
+            float(losses[-1])
+            seg.append(time.perf_counter() - t0)
+        best = min(seg)
+        details[f"train350k_{opt}_step_ms"] = round(best / (full_rows / batch) * 1e3, 3)
+        details[f"train350k_{opt}_examples_per_sec"] = round(full_rows / best)
+        del st
+    del data_full, ds_full
+
     # ---- retrieval top-k QPS (full-dataset scale) ----------------------------
     # Dispatch many DISTINCT async calls and sync once: the device executes
     # them in order, so (total - one round-trip) / n isolates device time

@@ -41,9 +41,21 @@ def test_ci_scale_convergence_and_recovery():
 
     # Ranking recovery: model_recs' scoring path recovers the planted
     # teacher's top-10 far above chance (k/n_anime = 2.5% here). Calibrated
-    # CI value ~0.58; the reference-scale archived run is the headline
-    # number.
+    # CI values: overlap ~0.58 against an architecture ceiling of ~0.81
+    # (the cosine head cannot express ||v|| magnitudes — see
+    # convergence.py module docstring), recall@50 ~0.95. The
+    # reference-scale archived run is the headline number.
     assert report.topk_overlap >= 0.40, f"top-k overlap {report.topk_overlap:.3f}"
+    assert report.arch_ceiling_overlap > report.topk_overlap, (
+        "ceiling should exceed the trained model's overlap"
+    )
+    assert report.expressible_overlap >= 0.40, (
+        f"expressible-oracle overlap {report.expressible_overlap:.3f}"
+    )
+    # Candidate-generation claim: the teacher's true top-10 appears in the
+    # model's top-50 nearly always (calibrated 0.95; ceiling ~1.0).
+    assert report.topk_recall >= 0.85, f"recall@50 {report.topk_recall:.3f}"
+    assert report.recall_ceiling >= report.topk_recall - 0.05
 
     # Early stopping bookkeeping is coherent.
     assert 0 <= report.best_epoch < report.spec.epochs
