@@ -93,19 +93,21 @@ class ModelConfig:
     # device, device-side shuffle) — much lower host overhead. Single-chip
     # trainer only; the sharded trainer ignores it for now.
     device_loop: bool = True
-    # "adam" (exact Keras parity) or "lazy_adam" (row-sparse Adam: only
-    # batch-touched embedding rows get moments/decay/updates — faster at
-    # scale, standard production-recommender semantics). The reference
-    # artifact metadata spells it "Adam" (neural_network.py:263-271);
-    # optimizer_display gives that form.
+    # "adam" (exact Keras parity), "fused_adam" (same dense-Adam semantics
+    # via one Pallas pass per table — bandwidth-floor fast path), or
+    # "lazy_adam" (row-sparse Adam: only batch-touched embedding rows get
+    # moments/decay/updates — faster at scale, standard
+    # production-recommender semantics). The reference artifact metadata
+    # spells it "Adam" (neural_network.py:263-271); optimizer_display gives
+    # that form.
     optimizer: str = "adam"
 
     @property
     def optimizer_display(self) -> str:
         """Artifact-metadata spelling (reference logs "Adam")."""
-        return {"adam": "Adam", "lazy_adam": "LazyAdam"}.get(
-            self.optimizer, self.optimizer
-        )
+        return {
+            "adam": "Adam", "fused_adam": "Adam", "lazy_adam": "LazyAdam",
+        }.get(self.optimizer, self.optimizer)
 
 
 @dataclass

@@ -145,6 +145,13 @@ def train_epoch(
                 state, users, anime, ratings, weights, lr, l2_reg_factor
             )
             return state, (loss, mse, jnp.sum(weights))
+        if optimizer == "fused_adam":
+            from anime_recommendations_tpu.train.fused import fused_train_step
+
+            state, loss, mse = fused_train_step(
+                state, users, anime, ratings, weights, lr, l2_reg_factor
+            )
+            return state, (loss, mse, jnp.sum(weights))
         if optimizer != "adam":
             raise ValueError(f"unknown optimizer {optimizer!r}")
         (loss, (mse, new_bn)), grads = jax.value_and_grad(

@@ -92,3 +92,79 @@ def test_sequential_steps_converge_like_dense():
         )
     np.testing.assert_allclose(np.asarray(wf), np.asarray(wd),
                                rtol=3e-4, atol=3e-5)
+
+
+# ---- fused_train_step: full training-step parity vs the dense path ---------
+
+from anime_recommendations_tpu.train.fused import fused_train_step
+from anime_recommendations_tpu.train.trainer import init_train_state, train_step
+
+
+def _batch(n_users, n_anime, b, seed):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.integers(0, n_users, b), jnp.int32),
+        jnp.asarray(rng.integers(0, n_anime, b), jnp.int32),
+        jnp.asarray(rng.uniform(0, 1, b), jnp.float32),
+        jnp.ones(b, jnp.float32),
+    )
+
+
+def test_fused_train_step_matches_dense_trajectory():
+    """Chained fused steps track the dense train_step: params, moments, BN,
+    reported loss (incl. the L2 regularizer's value) and mse."""
+    n_users, n_anime, d, b, l2 = 150, 40, 16, 64, 1e-4
+    lr = jnp.float32(1e-3)
+    sf = init_train_state(jax.random.PRNGKey(0), n_users, n_anime, d)
+    sd = init_train_state(jax.random.PRNGKey(0), n_users, n_anime, d)
+    for step in range(4):
+        u, a, r, w = _batch(n_users, n_anime, b, seed=step)
+        sd, loss_d, mse_d = train_step(sd, u, a, r, w, lr, l2)
+        sf, loss_f, mse_f = fused_train_step(sf, u, a, r, w, lr, l2)
+        np.testing.assert_allclose(float(loss_f), float(loss_d),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(float(mse_f), float(mse_d),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sf.params.user_emb),
+                               np.asarray(sd.params.user_emb),
+                               rtol=3e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sf.params.anime_emb),
+                               np.asarray(sd.params.anime_emb),
+                               rtol=3e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sf.params.dense_w),
+                               np.asarray(sd.params.dense_w),
+                               rtol=1e-3, atol=1e-5)
+    # moving_mean is near zero; rtol is meaningless there — bound absolutely.
+    np.testing.assert_allclose(np.asarray(sf.bn_state.moving_mean),
+                               np.asarray(sd.bn_state.moving_mean),
+                               rtol=1e-3, atol=5e-6)
+    assert int(sf.opt_state.count) == int(sd.opt_state.count) == 4
+
+
+def test_fused_adam_in_device_loop_epoch():
+    """optimizer='fused_adam' inside the device-resident epoch scan matches
+    the dense epoch's loss curve (same data, shuffle off)."""
+    from anime_recommendations_tpu.data.dataset import RatingsDataset
+    from anime_recommendations_tpu.train import device_loop as dl
+
+    rng = np.random.default_rng(3)
+    n_users, n_anime, d, batch, rows, l2 = 120, 30, 8, 50, 400, 1e-4
+    ds = RatingsDataset(
+        users=rng.integers(0, n_users, rows).astype(np.int32),
+        anime=rng.integers(0, n_anime, rows).astype(np.int32),
+        ratings=rng.uniform(0, 1, rows).astype(np.float32),
+    )
+    data = dl.stage(ds, batch, seed=None)
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-3)
+    out = {}
+    for opt in ("adam", "fused_adam"):
+        st = init_train_state(jax.random.PRNGKey(1), n_users, n_anime, d)
+        st, losses, mses, wsums = dl.train_epoch(
+            st, data, key, lr, batch, l2, shuffle=False, optimizer=opt
+        )
+        out[opt] = (np.asarray(losses), np.asarray(st.params.user_emb))
+    np.testing.assert_allclose(out["fused_adam"][0], out["adam"][0],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(out["fused_adam"][1], out["adam"][1],
+                               rtol=3e-3, atol=2e-5)
