@@ -149,6 +149,146 @@ def _fused_adam_kernel(
     nu_out_ref[:] = nu
 
 
+def _fused_adam_gather_kernel(
+    # scalar prefetch
+    starts_ref,    # [nb+1] i32 sorted-batch offsets per block (update ids)
+    gstarts_ref,   # [nb+1] i32 sorted-batch offsets per block (NEXT-batch ids)
+    scal_ref,      # [8] f32
+    # inputs
+    w_ref, mu_ref, nu_ref, ids_ref, g_ref,
+    nids_ref,      # [1, Bp2] i32 sorted NEXT-batch ids (padded with -2^20)
+    # outputs
+    w_out_ref, mu_out_ref, nu_out_ref, sumsq_ref,
+    rows_out_ref,  # [Bp2, D] f32: POST-update rows for the next batch,
+                   # in nids-sorted order (revisited block, += accumulated)
+    *,
+    block_rows: int,
+    chunk: int,
+    d: int,
+    n_rows: int,
+    highest: bool,
+):
+    """The fused Adam update (identical math to _fused_adam_kernel) PLUS a
+    software-pipelined gather: while each table block is resident in VMEM
+    for its update, the rows the NEXT training batch will read are selected
+    out of the freshly updated block by one-hot matmuls. The training scan
+    then never gathers from the table in XLA — the table has a single
+    consumer (this kernel), so XLA's copy-insertion stops paying the
+    must-alias with a full-table copy per step (measured ~0.23 ms/step at
+    reference shapes, NOTES_PERF.md)."""
+    i = pl.program_id(0)
+    base = i * block_rows
+
+    w = w_ref[:]
+
+    @pl.when(i == 0)
+    def _():
+        sumsq_ref[0, 0] = 0.0
+        rows_out_ref[...] = jnp.zeros(rows_out_ref.shape, jnp.float32)
+
+    if n_rows % block_rows:
+        row_valid = (
+            base + jax.lax.broadcasted_iota(jnp.int32, (block_rows, 1), 0)
+        ) < n_rows
+        wv = jnp.where(row_valid, w, 0.0)
+    else:
+        wv = w
+    sumsq_ref[0, 0] += jnp.sum(wv * wv)
+
+    c0 = starts_ref[i] // chunk
+    c1 = (starts_ref[i + 1] + chunk - 1) // chunk
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_rows, chunk), 0)
+
+    def chunk_body(c, acc):
+        off = c * chunk
+        ids_c = ids_ref[0, pl.ds(off, chunk)]
+        g_c = g_ref[pl.ds(off, chunk), :]
+        local = ids_c - base
+        onehot = (local[None, :] == row_iota).astype(
+            jnp.float32 if highest else jnp.bfloat16
+        )
+        if highest:
+            acc = acc + jax.lax.dot_general(
+                onehot, g_c,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            g_hi = g_c.astype(jnp.bfloat16)
+            g_lo = (g_c - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            for part in (g_hi, g_lo):
+                acc = acc + jax.lax.dot_general(
+                    onehot, part,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        return acc
+
+    dscat = jax.lax.fori_loop(
+        c0, c1, chunk_body, jnp.zeros((block_rows, d), jnp.float32)
+    )
+
+    lr = scal_ref[0]
+    bc1 = scal_ref[1]
+    bc2 = scal_ref[2]
+    eps = scal_ref[3]
+    l2 = scal_ref[4]
+    b1 = scal_ref[5]
+    b2 = scal_ref[6]
+
+    g = dscat + (2.0 * l2) * w
+    mu = b1 * mu_ref[:] + (1.0 - b1) * g
+    nu = b2 * nu_ref[:] + (1.0 - b2) * (g * g)
+    update = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+    w_new = w - lr * update
+    w_out_ref[:] = w_new
+    mu_out_ref[:] = mu
+    nu_out_ref[:] = nu
+
+    # --- next-batch gather out of the freshly updated block ----------------
+    # Same hi/lo bf16 one-hot trick as the scatter, transposed: each next-id
+    # selects exactly one row of w_new (~2^-17 relative, consistent with the
+    # scatter path). Chunks straddling a block boundary are += accumulated —
+    # each next-row belongs to exactly one block, the other contributes 0.
+    # Unlike the update path (whose garbage writes are simply dropped), the
+    # gather CONTRACTS over the row axis, so the ragged block's unspecified
+    # rows would poison every output through 0 * NaN — mask them first.
+    if n_rows % block_rows:
+        w_g = jnp.where(row_valid, w_new, 0.0)
+    else:
+        w_g = w_new
+    if highest:
+        w_parts = (w_g,)
+    else:
+        w_hi = w_g.astype(jnp.bfloat16)
+        w_lo = (w_g - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        w_parts = (w_hi, w_lo)
+
+    g0 = gstarts_ref[i] // chunk
+    g1 = (gstarts_ref[i + 1] + chunk - 1) // chunk
+
+    def gather_body(c, carry):
+        off = c * chunk
+        nids_c = nids_ref[0, pl.ds(off, chunk)]
+        local = nids_c - base
+        onehot = (local[None, :] == row_iota).astype(
+            jnp.float32 if highest else jnp.bfloat16
+        )                                                # [R, C]
+        acc = jnp.zeros((chunk, d), jnp.float32)
+        for part in w_parts:
+            acc = acc + jax.lax.dot_general(
+                onehot, part,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST if highest else None),
+            )                                            # [C, D]
+        rows_out_ref[pl.ds(off, chunk), :] += acc
+        return carry
+
+    jax.lax.fori_loop(g0, g1, gather_body, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -171,8 +311,9 @@ def sparse_adam_update(
     chunk: int = DEFAULT_CHUNK,
     precision: str = "fast",        # "fast" (2x bf16) | "highest" (f32)
     alias_tables: bool = True,
+    next_ids: jax.Array | None = None,
     interpret: bool | None = None,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, ...]:
     """One fused sparse-Adam step. Returns (w', mu', nu', sumsq(w_before)).
 
     Equivalent to::
@@ -182,6 +323,12 @@ def sparse_adam_update(
         w' = w - lr * (mu'/(1-b1**t)) / (sqrt(nu'/(1-b2**t)) + eps)
 
     but with one HBM pass over (w, mu, nu) and no dense-gradient round-trip.
+
+    With ``next_ids`` ([B2] i32), the kernel additionally returns
+    ``w'[next_ids]`` as a 5th output, gathered block-by-block while the
+    updated table is still in VMEM (software pipelining for the training
+    scan: the table then has a single consumer, so no copy-insertion tax —
+    see _fused_adam_gather_kernel).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -218,32 +365,83 @@ def sparse_adam_update(
         jnp.float32(0.0),
     ])
 
+    table_spec = pl.BlockSpec(
+        (block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    if next_ids is None:
+        kernel = functools.partial(
+            _fused_adam_kernel,
+            block_rows=block_rows, chunk=chunk, d=d, n_rows=n,
+            highest=(precision == "highest"),
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[
+                table_spec, table_spec, table_spec,
+                pl.BlockSpec((1, b_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                table_spec, table_spec, table_spec,
+                pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+            ),
+        )
+        w2, mu2, nu2, sumsq = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, d), jnp.float32),
+                jax.ShapeDtypeStruct((n, d), jnp.float32),
+                jax.ShapeDtypeStruct((n, d), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            # alias_tables=True updates w/mu/nu in place (tensor-input k
+            # after the 2 scalar-prefetch args aliases output k). Inside a
+            # lax.scan, XLA's copy-insertion still pays the w must-alias
+            # with a full-table copy (w is also read by the forward
+            # gather), but measured both ways at reference shapes the
+            # aliased form is faster in-scan (0.906 vs 1.167 ms/step) —
+            # without aliasing the scan carry pays MORE copies on the
+            # output side. The next_ids variant below removes the w copy
+            # altogether by making this kernel the table's only consumer.
+            input_output_aliases=(
+                {2: 0, 3: 1, 4: 2} if alias_tables else {}
+            ),
+            interpret=interpret,
+        )(starts, scal, w, mu, nu, ids_s.reshape(1, -1), g_s)
+
+        return w2, mu2, nu2, sumsq[0, 0]
+
+    # Pipelined variant: also gather w'[next_ids] block-by-block.
+    b2 = next_ids.shape[0]
+    norder = jnp.argsort(next_ids)
+    nids_s = next_ids[norder].astype(jnp.int32)
+    b2_pad = _round_up(b2, chunk) + chunk
+    nids_p = jnp.pad(nids_s, (0, b2_pad - b2), constant_values=-(2 ** 20))
+    gstarts = jnp.searchsorted(nids_s, bounds, side="left").astype(jnp.int32)
+
     kernel = functools.partial(
-        _fused_adam_kernel,
-        block_rows=block_rows,
-        chunk=chunk,
-        d=d,
-        n_rows=n,
+        _fused_adam_gather_kernel,
+        block_rows=block_rows, chunk=chunk, d=d, n_rows=n,
         highest=(precision == "highest"),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            table_spec, table_spec, table_spec,
             pl.BlockSpec((1, b_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b2_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            table_spec, table_spec, table_spec,
             pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b2_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ),
     )
-    w2, mu2, nu2, sumsq = pl.pallas_call(
+    w2, mu2, nu2, sumsq, rows_s = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
@@ -251,18 +449,18 @@ def sparse_adam_update(
             jax.ShapeDtypeStruct((n, d), jnp.float32),
             jax.ShapeDtypeStruct((n, d), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b2_pad, d), jnp.float32),
         ),
-        # alias_tables=True updates w/mu/nu in place (tensor-input k after
-        # the 2 scalar-prefetch args aliases output k). Inside a lax.scan,
-        # XLA's copy-insertion still pays the w must-alias with a
-        # full-table copy (w is also read by the forward gather), but
-        # measured both ways at reference shapes the aliased form is
-        # faster in-scan (0.906 vs 1.167 ms/step) — without aliasing the
-        # scan carry pays MORE copies on the output side.
+        # With the gather fused in, the tables' ONLY consumer is this call:
+        # the must-alias is then free (no other live use to preserve).
         input_output_aliases=(
-            {2: 0, 3: 1, 4: 2} if alias_tables else {}
+            {3: 0, 4: 1, 5: 2} if alias_tables else {}
         ),
         interpret=interpret,
-    )(starts, scal, w, mu, nu, ids_s.reshape(1, -1), g_s)
+    )(starts, gstarts, scal, w, mu, nu, ids_s.reshape(1, -1), g_s,
+      nids_p.reshape(1, -1))
 
-    return w2, mu2, nu2, sumsq[0, 0]
+    # Un-sort the gathered rows back to next_ids' original order.
+    inv = jnp.argsort(norder)
+    rows = rows_s[:b2][inv]
+    return w2, mu2, nu2, sumsq[0, 0], rows

@@ -132,6 +132,41 @@ def train_epoch(
 
         data = DeviceData(*(_shuf(x) for x in data))
 
+    if optimizer == "fused_adam":
+        # Software-pipelined scan: step i's kernel updates the tables AND
+        # gathers the rows step i+1 will consume, so the tables have a
+        # single consumer per step (no copy-insertion tax — train/fused.py
+        # fused_train_step_pipelined). The prologue gathers batch 0's rows
+        # once per epoch.
+        from anime_recommendations_tpu.train.fused import (
+            fused_train_step_pipelined,
+        )
+
+        def sl_at(x, j):
+            return jax.lax.dynamic_slice_in_dim(x, j * batch_size, batch_size)
+
+        u_rows0 = state.params.user_emb[data.users[:batch_size]]
+        a_rows0 = state.params.anime_emb[data.anime[:batch_size]]
+
+        def fused_body(carry, i):
+            state, u_rows, a_rows = carry
+            nxt = jax.lax.rem(i + 1, nb)
+            state, loss, mse, u_next, a_next = fused_train_step_pipelined(
+                state, u_rows, a_rows,
+                sl_at(data.users, i), sl_at(data.anime, i),
+                sl_at(data.ratings, i), sl_at(data.weights, i),
+                sl_at(data.users, nxt), sl_at(data.anime, nxt),
+                lr, l2_reg_factor,
+            )
+            w = jnp.sum(sl_at(data.weights, i))
+            return (state, u_next, a_next), (loss, mse, w)
+
+        (state, _, _), (losses, mses, wsums) = jax.lax.scan(
+            fused_body, (state, u_rows0, a_rows0),
+            jnp.arange(nb, dtype=jnp.int32),
+        )
+        return state, losses, mses, wsums
+
     def body(state, i):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * batch_size, batch_size)
         users = sl(data.users)
@@ -142,13 +177,6 @@ def train_epoch(
             from anime_recommendations_tpu.train.lazy import lazy_train_step
 
             state, loss, mse = lazy_train_step(
-                state, users, anime, ratings, weights, lr, l2_reg_factor
-            )
-            return state, (loss, mse, jnp.sum(weights))
-        if optimizer == "fused_adam":
-            from anime_recommendations_tpu.train.fused import fused_train_step
-
-            state, loss, mse = fused_train_step(
                 state, users, anime, ratings, weights, lr, l2_reg_factor
             )
             return state, (loss, mse, jnp.sum(weights))

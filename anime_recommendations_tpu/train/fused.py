@@ -101,3 +101,99 @@ def fused_train_step(
         nu=TwoTowerParams(user_emb=nu_u, anime_emb=nu_a, **new_nu_s),
     )
     return TrainState(new_params, new_bn, new_opt), loss, mse
+
+
+@partial(
+    jax.jit, donate_argnums=(0, 1, 2),
+    static_argnames=("l2_reg_factor", "kernel_gather"),
+)
+def fused_train_step_pipelined(
+    state: TrainState,
+    u_rows: jax.Array,        # [B, D] user rows for THIS batch (pre-gathered)
+    a_rows: jax.Array,        # [B, D] anime rows for THIS batch
+    users: jax.Array,
+    anime: jax.Array,
+    ratings: jax.Array,
+    weights: jax.Array,
+    next_users: jax.Array,    # [B] ids of the NEXT batch
+    next_anime: jax.Array,
+    lr: jax.Array,
+    l2_reg_factor: float,
+    kernel_gather: bool = False,
+) -> tuple[TrainState, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """fused_train_step with the embedding gathers software-pipelined: this
+    step consumes rows gathered at the END of the previous step (from the
+    freshly updated tables) and returns the rows the NEXT step will consume.
+
+    Why: with a gather at the TOP of the scan body, the carried table has
+    two consumers per step (gather + in-place-aliased kernel) and XLA's
+    copy-insertion protects the gather with a full-table copy
+    (~0.23 ms/step at reference shapes, NOTES_PERF.md). Pipelined, the
+    carry-in table's only consumer is the kernel (clean must-alias) and
+    the gather reads the kernel's OUTPUT — no conflict, no copy.
+
+    ``kernel_gather=True`` additionally fuses the gather into the Pallas
+    kernel itself (selected out of each updated block while it is in VMEM,
+    ops/fused_adam.py next_ids) instead of a plain XLA gather on the
+    output; measured slower at reference shapes (VMEM pressure from the
+    staged gather output shrinks the pipeline's buffering) but kept for
+    configurations where HBM pressure dominates.
+
+    Returns (new_state, loss, mse, next_u_rows, next_a_rows).
+    """
+    params = state.params
+    opt: optax.ScaleByAdamState = state.opt_state
+    head_params = (params.dense_w, params.dense_b,
+                   params.bn_gamma, params.bn_beta)
+
+    (data_loss, (mse, new_bn)), (d_u, d_a, d_head) = jax.value_and_grad(
+        _data_loss, argnums=(0, 1, 2), has_aux=True
+    )(u_rows, a_rows, head_params, state.bn_state, ratings, weights)
+
+    t = opt.count + 1
+    if kernel_gather:
+        w_u, mu_u, nu_u, sumsq_u, next_u_rows = sparse_adam_update(
+            params.user_emb, opt.mu.user_emb, opt.nu.user_emb,
+            users, d_u, t, lr, l2=l2_reg_factor,
+            b1=B1, b2=B2, eps=KERAS_ADAM_EPS, next_ids=next_users,
+        )
+        w_a, mu_a, nu_a, sumsq_a, next_a_rows = sparse_adam_update(
+            params.anime_emb, opt.mu.anime_emb, opt.nu.anime_emb,
+            anime, d_a, t, lr, l2=l2_reg_factor,
+            b1=B1, b2=B2, eps=KERAS_ADAM_EPS, next_ids=next_anime,
+        )
+    else:
+        w_u, mu_u, nu_u, sumsq_u = sparse_adam_update(
+            params.user_emb, opt.mu.user_emb, opt.nu.user_emb,
+            users, d_u, t, lr, l2=l2_reg_factor,
+            b1=B1, b2=B2, eps=KERAS_ADAM_EPS,
+        )
+        w_a, mu_a, nu_a, sumsq_a = sparse_adam_update(
+            params.anime_emb, opt.mu.anime_emb, opt.nu.anime_emb,
+            anime, d_a, t, lr, l2=l2_reg_factor,
+            b1=B1, b2=B2, eps=KERAS_ADAM_EPS,
+        )
+        next_u_rows = w_u[next_users]
+        next_a_rows = w_a[next_anime]
+    loss = data_loss + l2_reg_factor * (sumsq_u + sumsq_a)
+
+    tf32 = t.astype(jnp.float32)
+    bc1 = 1.0 - jnp.float32(B1) ** tf32
+    bc2 = 1.0 - jnp.float32(B2) ** tf32
+    names = ("dense_w", "dense_b", "bn_gamma", "bn_beta")
+    new_scalars, new_mu_s, new_nu_s = {}, {}, {}
+    for name, g in zip(names, d_head):
+        p, m, v = _scalar_adam(
+            getattr(params, name), getattr(opt.mu, name),
+            getattr(opt.nu, name), g, bc1, bc2, lr,
+        )
+        new_scalars[name], new_mu_s[name], new_nu_s[name] = p, m, v
+
+    new_params = TwoTowerParams(user_emb=w_u, anime_emb=w_a, **new_scalars)
+    new_opt = optax.ScaleByAdamState(
+        count=t,
+        mu=TwoTowerParams(user_emb=mu_u, anime_emb=mu_a, **new_mu_s),
+        nu=TwoTowerParams(user_emb=nu_u, anime_emb=nu_a, **new_nu_s),
+    )
+    new_state = TrainState(new_params, new_bn, new_opt)
+    return new_state, loss, mse, next_u_rows, next_a_rows

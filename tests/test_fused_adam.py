@@ -168,3 +168,27 @@ def test_fused_adam_in_device_loop_epoch():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(out["fused_adam"][1], out["adam"][1],
                                rtol=3e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("precision,tol", [("highest", 0.0), ("fast", 2e-5)])
+def test_pipelined_gather_matches_direct(precision, tol):
+    """The next_ids variant returns exactly w'[next_ids] (ragged last block
+    included — its garbage rows must not leak into the contraction)."""
+    w, mu, nu, ids, g = make_case(300, 32, 128, seed=4)
+    rng = np.random.default_rng(7)
+    nids = jnp.asarray(rng.integers(0, 300, 200), np.int32)
+    w2, mu2, nu2, sumsq, rows = sparse_adam_update(
+        w, mu, nu, ids, g, jnp.asarray(3), jnp.float32(1e-3), l2=1e-4,
+        block_rows=64, chunk=32, next_ids=nids, precision=precision,
+    )
+    # Table outputs identical to the gather-free call.
+    w2b, mu2b, nu2b, sumsqb = sparse_adam_update(
+        w, mu, nu, ids, g, jnp.asarray(3), jnp.float32(1e-3), l2=1e-4,
+        block_rows=64, chunk=32, precision=precision,
+    )
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(w2b))
+    np.testing.assert_allclose(float(sumsq), float(sumsqb), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(rows), np.asarray(w2[nids]), rtol=tol, atol=tol
+    )
+    assert not np.isnan(np.asarray(rows)).any()
