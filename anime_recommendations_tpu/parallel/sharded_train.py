@@ -163,6 +163,13 @@ class ShardedTrainStep:
     ):
         if routing not in ("alltoall", "psum"):
             raise ValueError(f"unknown routing {routing!r}")
+        if optimizer not in ("adam", "lazy_adam"):
+            raise ValueError(
+                f"unknown sharded optimizer {optimizer!r}: choose 'adam' or "
+                "'lazy_adam' ('fused_adam' is single-chip only for now — an "
+                "owner-side fused update needs a route_grad_rows primitive, "
+                "see NOTES_PERF.md)"
+            )
         if optimizer == "lazy_adam" and routing != "alltoall":
             raise ValueError(
                 "lazy_adam requires routing='alltoall' (owner-side row-sparse "

@@ -360,7 +360,10 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scale", choices=["reference", "ci"], default="reference")
     p.add_argument("--out", default="artifacts/convergence")
-    p.add_argument("--optimizer", default="adam", choices=["adam", "lazy_adam"])
+    p.add_argument(
+        "--optimizer", default="adam",
+        choices=["adam", "fused_adam", "lazy_adam"],
+    )
     args = p.parse_args(argv)
 
     spec = REFERENCE_SCALE if args.scale == "reference" else CI_SCALE
@@ -369,10 +372,13 @@ def main(argv: list[str] | None = None) -> None:
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    tag = args.scale if args.optimizer == "adam" else (
+        f"{args.scale}_{args.optimizer}"
+    )
     # Golden history header (",loss,mse,val_loss,val_mse,lr" — the
     # reference's anime_nn_history.csv format).
-    report.history.to_csv(out / f"history_{args.scale}.csv")
-    (out / f"result_{args.scale}.json").write_text(
+    report.history.to_csv(out / f"history_{tag}.csv")
+    (out / f"result_{tag}.json").write_text(
         json.dumps(report.summary(), indent=2, default=float)
     )
     print(json.dumps(report.summary(), default=float))
