@@ -292,7 +292,7 @@ def _fused_adam_gather_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_rows", "chunk", "precision", "alias_tables", "interpret"
+        "block_rows", "chunk", "precision", "alias_tables", "interpret", "vma"
     ),
 )
 def sparse_adam_update(
@@ -313,6 +313,7 @@ def sparse_adam_update(
     alias_tables: bool = True,
     next_ids: jax.Array | None = None,
     interpret: bool | None = None,
+    vma: tuple | frozenset | None = None,
 ) -> tuple[jax.Array, ...]:
     """One fused sparse-Adam step. Returns (w', mu', nu', sumsq(w_before)).
 
@@ -329,11 +330,39 @@ def sparse_adam_update(
     updated table is still in VMEM (software pipelining for the training
     scan: the table then has a single consumer, so no copy-insertion tax —
     see _fused_adam_gather_kernel).
+
+    ``vma`` (mesh axis names) is required when calling inside jax.shard_map
+    with check_vma on: it marks the outputs device-varying over those axes
+    (the sharded trainer passes its full mesh axes). In INTERPRET mode the
+    shard_map combination runs the documented XLA-equivalent math instead
+    (Pallas's HLO interpreter can't discharge refs under varying manual
+    axes); the kernel itself is exercised on TPU and by the single-chip
+    interpret tests.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, d = w.shape
     b = ids.shape[0]
+
+    if interpret and vma is not None:
+        if next_ids is not None:
+            raise NotImplementedError("next_ids + vma interpret fallback")
+        dense = (
+            jnp.zeros_like(w).at[ids].add(g_rows, mode="drop")
+            + 2.0 * jnp.asarray(l2, jnp.float32) * w
+        )
+        t = step.astype(jnp.float32)
+        bc1 = 1.0 - jnp.float32(b1) ** t
+        bc2 = 1.0 - jnp.float32(b2) ** t
+        mu2 = b1 * mu + (1.0 - b1) * dense
+        nu2 = b2 * nu + (1.0 - b2) * jnp.square(dense)
+        w2 = w - lr * (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + jnp.float32(eps))
+        return w2, mu2, nu2, jnp.sum(jnp.square(w))
+
+    def _sds(shape):
+        if vma is None:
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
 
     # No table padding: a pad would jnp.concatenate-copy w/mu/nu (6 extra
     # HBM passes at reference shapes). The ragged trailing block is handled
@@ -391,10 +420,7 @@ def sparse_adam_update(
             kernel,
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((n, d), jnp.float32),
-                jax.ShapeDtypeStruct((n, d), jnp.float32),
-                jax.ShapeDtypeStruct((n, d), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                _sds((n, d)), _sds((n, d)), _sds((n, d)), _sds((1, 1)),
             ),
             # alias_tables=True updates w/mu/nu in place (tensor-input k
             # after the 2 scalar-prefetch args aliases output k). Inside a
@@ -445,11 +471,8 @@ def sparse_adam_update(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n, d), jnp.float32),
-            jax.ShapeDtypeStruct((n, d), jnp.float32),
-            jax.ShapeDtypeStruct((n, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b2_pad, d), jnp.float32),
+            _sds((n, d)), _sds((n, d)), _sds((n, d)), _sds((1, 1)),
+            _sds((b2_pad, d)),
         ),
         # With the gather fused in, the tables' ONLY consumer is this call:
         # the must-alias is then free (no other live use to preserve).

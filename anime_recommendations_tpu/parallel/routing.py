@@ -396,6 +396,82 @@ def route_grads_lazy_adam(
     return w, mu, nu
 
 
+def route_grad_rows(
+    ids: jax.Array,      # [B] global ids this device looked up
+    g_rows: jax.Array,   # [B, D] grads w.r.t. the exchanged rows
+    *,
+    axis,
+    n_shards: int,
+    capacity: int,
+    r_local: int,        # rows in the receiving shard's local table
+    max_rounds: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Reverse of exchange_rows WITHOUT an optimizer baked in: routes
+    per-unique-id gradient sums back to the owning shards and returns the
+    owner-side receipts ``(local_ids [T], grads [T, D])`` with
+    ``T = max_rounds * n_shards * capacity``.
+
+    Undelivered slots carry the drop marker ``local_id == r_local`` (one
+    past the local table) and ZERO gradients, so any scatter-ADD consumer
+    — ops/fused_adam.sparse_adam_update in particular — treats them as
+    no-ops. Because receipts from ALL overflow rounds are staged before a
+    single optimizer application, the result is EXACT dense-Adam (or exact
+    one-update-per-row lazy) semantics even under multi-round overflow,
+    unlike route_grads_lazy_adam's bounded per-round deviation.
+
+    ``max_rounds`` defaults to ceil(B / capacity) — the static worst case
+    (a sender's whole batch landing in one owner bucket), so by
+    construction no round is ever dropped. T then scales as ~B * n_shards
+    slots; size capacity accordingly if staging VMEM matters downstream.
+    """
+    m, cap = n_shards, capacity
+    b = ids.shape[0]
+    d = g_rows.shape[1]
+    if max_rounds is None:
+        max_rounds = -(-b // cap)
+    plan = _make_plan(ids, m, cap, axis)
+    g_s = g_rows[plan.order]
+    ugrad = jax.ops.segment_sum(g_s, plan.seg, num_segments=b)
+    t_slots = max_rounds * m * cap
+
+    def body(carry):
+        r, oid, og = carry
+        send_ids, slot_pos = _send_slot_ids(plan, r, cap, m)
+        recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0)          # [m, C]
+        send_g = jnp.where(
+            (slot_pos < b)[:, :, None],
+            ugrad[jnp.clip(slot_pos, 0, b - 1)],
+            jnp.zeros((), g_rows.dtype),
+        )
+        recv_g = jax.lax.all_to_all(send_g, axis, 0, 0)              # [m, C, D]
+        lid = local_of(jnp.maximum(recv_ids, 0), m)
+        ok = (recv_ids >= 0) & (lid < r_local)
+        # plan.rounds <= max_rounds by construction of the default; the
+        # clamp only guards explicitly-small max_rounds overrides.
+        base = jnp.minimum(r, max_rounds - 1) * jnp.int32(m * cap)
+        pos = base + jnp.arange(m * cap, dtype=jnp.int32)
+        oid = oid.at[pos].set(
+            jnp.where(ok.reshape(-1), lid.reshape(-1), r_local).astype(jnp.int32),
+            unique_indices=True,
+        )
+        og = og.at[pos].set(
+            jnp.where(ok.reshape(-1)[:, None], recv_g.reshape(-1, d), 0.0),
+            unique_indices=True,
+        )
+        return r + 1, oid, og
+
+    _, oid, og = jax.lax.while_loop(
+        lambda c: c[0] < plan.rounds,
+        body,
+        (
+            jnp.int32(0),
+            _pvary(jnp.full((t_slots,), r_local, jnp.int32), axis),
+            _pvary(jnp.zeros((t_slots, d), g_rows.dtype), axis),
+        ),
+    )
+    return oid, og
+
+
 # ---- comm accounting --------------------------------------------------------------
 
 

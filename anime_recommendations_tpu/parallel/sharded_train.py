@@ -163,16 +163,14 @@ class ShardedTrainStep:
     ):
         if routing not in ("alltoall", "psum"):
             raise ValueError(f"unknown routing {routing!r}")
-        if optimizer not in ("adam", "lazy_adam"):
+        if optimizer not in ("adam", "lazy_adam", "fused_adam"):
             raise ValueError(
-                f"unknown sharded optimizer {optimizer!r}: choose 'adam' or "
-                "'lazy_adam' ('fused_adam' is single-chip only for now — an "
-                "owner-side fused update needs a route_grad_rows primitive, "
-                "see NOTES_PERF.md)"
+                f"unknown sharded optimizer {optimizer!r}: choose 'adam', "
+                "'lazy_adam', or 'fused_adam'"
             )
-        if optimizer == "lazy_adam" and routing != "alltoall":
+        if optimizer in ("lazy_adam", "fused_adam") and routing != "alltoall":
             raise ValueError(
-                "lazy_adam requires routing='alltoall' (owner-side row-sparse "
+                f"{optimizer} requires routing='alltoall' (owner-side "
                 "updates need the exchange plan; the psum path has no row "
                 "ownership for the gathered block)"
             )
@@ -334,20 +332,12 @@ class ShardedTrainStep:
             mse,
         )
 
-    def _lazy_step(self, state: TrainState, users, anime, ratings, weights, lr):
-        """Row-sparse Adam on the routed path (train/lazy.py semantics).
-
-        Gradients are taken w.r.t. the EXCHANGED rows — no dense table
-        gradient ever exists on any shard. Per-unique-row grad sums travel
-        back to the owning shard over the same all-to-all plan, and owners
-        apply lazy Adam only to the rows a round delivers (multi-round
-        overflow applies Adam per round — exact dedup in the single-round
-        steady state; see routing.route_grads_lazy_adam).
-        """
-        from anime_recommendations_tpu.train.lazy import B1, B2, _scalar_adam
-
-        params = state.params
-        opt: optax.ScaleByAdamState = state.opt_state
+    def _routed_forward_grads(self, params, users, anime, ratings, weights):
+        """Shared forward+backward of the routed (owner-side-update) steps:
+        exchange both tables' rows, differentiate the data loss w.r.t. the
+        EXCHANGED rows and head params — no dense table gradient ever
+        exists on any shard. Returns
+        (loss, mse, (mean, var), d_u, d_a, d_head, cap_u, cap_a)."""
         m = self._n_shards
         cap_u = self._capacity(users.shape[0])
         cap_a = self._capacity(anime.shape[0])
@@ -379,9 +369,45 @@ class ShardedTrainStep:
             ) / denom
             return loss, (mse, stats)
 
-        (loss, (mse, (mean, var))), (d_u, d_a, d_head) = jax.value_and_grad(
+        (loss, (mse, stats)), (d_u, d_a, d_head) = jax.value_and_grad(
             data_loss, argnums=(0, 1, 2), has_aux=True
         )(u_rows, a_rows, head_params)
+        return loss, mse, stats, d_u, d_a, d_head, cap_u, cap_a
+
+    @staticmethod
+    def _head_adam(params, opt, d_head, t, lr):
+        """Ordinary Adam on the 4 scalar head params with the shared step
+        count; returns (new_scalars, new_mu, new_nu) name->value dicts."""
+        from anime_recommendations_tpu.train.lazy import B1, B2, _scalar_adam
+
+        tf32 = t.astype(jnp.float32)
+        bc1 = 1.0 - jnp.float32(B1) ** tf32
+        bc2 = 1.0 - jnp.float32(B2) ** tf32
+        names = ("dense_w", "dense_b", "bn_gamma", "bn_beta")
+        new_scalars, new_mu_s, new_nu_s = {}, {}, {}
+        for name, g in zip(names, d_head):
+            p, mu_, nu_ = _scalar_adam(
+                getattr(params, name), getattr(opt.mu, name),
+                getattr(opt.nu, name), g, bc1, bc2, lr,
+            )
+            new_scalars[name], new_mu_s[name], new_nu_s[name] = p, mu_, nu_
+        return new_scalars, new_mu_s, new_nu_s
+
+    def _lazy_step(self, state: TrainState, users, anime, ratings, weights, lr):
+        """Row-sparse Adam on the routed path (train/lazy.py semantics).
+
+        Per-unique-row grad sums travel back to the owning shard over the
+        same all-to-all plan, and owners apply lazy Adam only to the rows
+        a round delivers (multi-round overflow applies Adam per round —
+        exact dedup in the single-round steady state; see
+        routing.route_grads_lazy_adam).
+        """
+        params = state.params
+        opt: optax.ScaleByAdamState = state.opt_state
+        m = self._n_shards
+        loss, mse, (mean, var), d_u, d_a, d_head, cap_u, cap_a = (
+            self._routed_forward_grads(params, users, anime, ratings, weights)
+        )
 
         t = opt.count + 1
         new_u = rt.route_grads_lazy_adam(
@@ -395,18 +421,9 @@ class ShardedTrainStep:
             axis=FULL_AXES, n_shards=m, capacity=cap_a,
         )
 
-        tf32 = t.astype(jnp.float32)
-        bc1 = 1.0 - jnp.float32(B1) ** tf32
-        bc2 = 1.0 - jnp.float32(B2) ** tf32
-        names = ("dense_w", "dense_b", "bn_gamma", "bn_beta")
-        new_scalars, new_mu_s, new_nu_s = {}, {}, {}
-        for name, g in zip(names, d_head):
-            p, mu_, nu_ = _scalar_adam(
-                getattr(params, name), getattr(opt.mu, name),
-                getattr(opt.nu, name), g, bc1, bc2, lr,
-            )
-            new_scalars[name], new_mu_s[name], new_nu_s[name] = p, mu_, nu_
-
+        new_scalars, new_mu_s, new_nu_s = self._head_adam(
+            params, opt, d_head, t, lr
+        )
         new_params = TwoTowerParams(
             user_emb=new_u[0], anime_emb=new_a[0], **new_scalars
         )
@@ -420,10 +437,73 @@ class ShardedTrainStep:
         )
         return new_state, loss, mse
 
+    def _fused_step(self, state: TrainState, users, anime, ratings, weights, lr):
+        """Owner-side FUSED dense-Adam on the routed path: exact dense-Adam
+        semantics (every local row decays + updates moments each step, the
+        loss includes the L2 value) at one Pallas pass per local table
+        shard (ops/fused_adam.sparse_adam_update).
+
+        Gradients are taken w.r.t. the exchanged rows; per-unique-row grad
+        sums travel back to the owning shard (routing.route_grad_rows) and
+        land in the owner's single fused kernel call as a scatter-add.
+        Because ALL overflow rounds are staged before that one application,
+        multi-round overflow under skew is EXACT — no per-round deviation
+        (unlike lazy_adam's route_grads_lazy_adam).
+        """
+        from anime_recommendations_tpu.ops.fused_adam import sparse_adam_update
+        from anime_recommendations_tpu.train.lazy import B1, B2
+        from anime_recommendations_tpu.train.trainer import KERAS_ADAM_EPS
+
+        params = state.params
+        opt: optax.ScaleByAdamState = state.opt_state
+        m = self._n_shards
+        loss, mse, (mean, var), d_u, d_a, d_head, cap_u, cap_a = (
+            self._routed_forward_grads(params, users, anime, ratings, weights)
+        )
+
+        t = opt.count + 1
+        oid_u, og_u = rt.route_grad_rows(
+            users, d_u, axis=FULL_AXES, n_shards=m, capacity=cap_u,
+            r_local=params.user_emb.shape[0],
+        )
+        oid_a, og_a = rt.route_grad_rows(
+            anime, d_a, axis=FULL_AXES, n_shards=m, capacity=cap_a,
+            r_local=params.anime_emb.shape[0],
+        )
+        w_u, mu_u, nu_u, sumsq_u = sparse_adam_update(
+            params.user_emb, opt.mu.user_emb, opt.nu.user_emb,
+            oid_u, og_u, t, lr, l2=self.l2,
+            b1=B1, b2=B2, eps=KERAS_ADAM_EPS, vma=FULL_AXES,
+        )
+        w_a, mu_a, nu_a, sumsq_a = sparse_adam_update(
+            params.anime_emb, opt.mu.anime_emb, opt.nu.anime_emb,
+            oid_a, og_a, t, lr, l2=self.l2,
+            b1=B1, b2=B2, eps=KERAS_ADAM_EPS, vma=FULL_AXES,
+        )
+        # Per-shard sumsq -> full-table L2 value (dense-path loss parity).
+        loss = loss + self.l2 * jax.lax.psum(sumsq_u + sumsq_a, self._baxes)
+
+        new_scalars, new_mu_s, new_nu_s = self._head_adam(
+            params, opt, d_head, t, lr
+        )
+        new_params = TwoTowerParams(user_emb=w_u, anime_emb=w_a, **new_scalars)
+        new_opt = optax.ScaleByAdamState(
+            count=t,
+            mu=TwoTowerParams(user_emb=mu_u, anime_emb=mu_a, **new_mu_s),
+            nu=TwoTowerParams(user_emb=nu_u, anime_emb=nu_a, **new_nu_s),
+        )
+        new_state = TrainState(
+            new_params, self._new_bn(state.bn_state, mean, var), new_opt
+        )
+        return new_state, loss, mse
+
     def _build_train(self):
         specs = self._step_specs()
         batch_spec = self._batch_spec()
-        step = self._lazy_step if self.optimizer == "lazy_adam" else self._dense_step
+        step = {
+            "lazy_adam": self._lazy_step,
+            "fused_adam": self._fused_step,
+        }.get(self.optimizer, self._dense_step)
 
         mapped = jax.shard_map(
             step,

@@ -235,6 +235,100 @@ def test_sharded_lazy_adam_matches_single_chip(single_state, batch, mesh_shape):
     assert m  # silence unused warning if asserts above change
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (8, 1)])
+def test_sharded_fused_adam_matches_single_chip(single_state, batch, mesh_shape):
+    """Owner-side fused dense-Adam on the routed path vs the single-chip
+    fused step (train/fused.py). Same comparison policy as the lazy test:
+    Adam's mhat/sqrt(vhat) amplifies f32 reduction-order noise on
+    near-zero grads into ~±lr flips, so evolved params are loose; the
+    moments (linear/quadratic in the grads) are tight, and per-step
+    loss/mse cover the full path — INCLUDING the L2 value, which the
+    fused sharded step reports via psum'd per-shard sumsq."""
+    from anime_recommendations_tpu.train.fused import fused_train_step
+
+    users, anime, ratings, weights = batch
+    mesh = make_mesh(*mesh_shape)
+    step = ShardedTrainStep(
+        mesh, l2_reg_factor=L2, routing="alltoall", optimizer="fused_adam"
+    )
+    sharded = place_state(clone_state(single_state), mesh, routing="alltoall")
+    ref = clone_state(single_state)
+
+    lr = jnp.float32(0.01)
+    for i in range(3):
+        sharded, s_loss, s_mse = step.train_step(
+            sharded, users, anime, ratings, weights, lr
+        )
+        ref, r_loss, r_mse = fused_train_step(
+            ref, users, anime, ratings, weights, lr, L2
+        )
+        np.testing.assert_allclose(
+            float(s_loss), float(r_loss), rtol=1e-3, err_msg=f"step {i}"
+        )
+        np.testing.assert_allclose(float(s_mse), float(r_mse), rtol=1e-3)
+
+    host = unstripe_state(sharded, mesh, "alltoall")
+    ref_host = jax.tree.map(np.asarray, ref)
+    np.testing.assert_allclose(
+        host.opt_state.mu.user_emb, ref_host.opt_state.mu.user_emb,
+        atol=1e-6, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        host.opt_state.mu.anime_emb, ref_host.opt_state.mu.anime_emb,
+        atol=1e-6, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        host.params.user_emb, ref_host.params.user_emb, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        host.params.anime_emb, ref_host.params.anime_emb, atol=2e-4
+    )
+    # Dense semantics: UNTOUCHED rows still decay + update moments — they
+    # must match the single-chip fused step, not the initial state.
+    touched_u = np.unique(np.asarray(users))
+    untouched = np.setdiff1d(np.arange(N_USERS), touched_u)
+    if untouched.size:
+        np.testing.assert_allclose(
+            host.params.user_emb[untouched],
+            ref_host.params.user_emb[untouched], atol=2e-4,
+        )
+        assert not np.allclose(
+            host.params.user_emb[untouched],
+            np.asarray(single_state.params.user_emb)[untouched],
+        )
+
+
+def test_sharded_fused_adam_exact_under_multi_round_overflow(single_state, batch):
+    """Forcing a tiny capacity makes the exchange run MULTIPLE overflow
+    rounds; route_grad_rows stages all receipts before ONE fused Adam
+    application, so the result must be IDENTICAL to the generous-capacity
+    single-round run — the semantic edge over lazy_adam's per-round
+    deviation (routing.route_grads_lazy_adam docstring)."""
+    users, anime, ratings, weights = batch
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    lr = jnp.float32(0.01)
+
+    outs = []
+    for cap in (None, 2):  # default (single-round) vs forced multi-round
+        step = ShardedTrainStep(
+            mesh, l2_reg_factor=L2, routing="alltoall",
+            optimizer="fused_adam", capacity=cap,
+        )
+        st = place_state(clone_state(single_state), mesh, routing="alltoall")
+        st, loss, mse = step.train_step(st, users, anime, ratings, weights, lr)
+        outs.append((unstripe_state(st, mesh, "alltoall"), float(loss)))
+
+    (a, la), (b, lb) = outs
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
+    np.testing.assert_allclose(
+        a.params.user_emb, b.params.user_emb, atol=1e-6, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        a.opt_state.nu.anime_emb, b.opt_state.nu.anime_emb,
+        atol=1e-7, rtol=1e-5,
+    )
+
+
 def test_pad_table():
     t = np.ones((10, 4), np.float32)
     out = pad_table(t, 4)
