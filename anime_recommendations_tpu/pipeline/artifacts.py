@@ -132,6 +132,22 @@ class ArtifactStore:
             raise FileNotFoundError(f"{name}:v{version} does not exist")
         return self._handle(name, version, vdir)
 
+    def names(self) -> list[str]:
+        """All artifact names in the store (original, un-sanitized), from
+        each artifact's latest version metadata."""
+        out = []
+        for art_dir in sorted(self.root.iterdir()):
+            if not art_dir.is_dir() or art_dir.name.startswith("."):
+                continue
+            v = self._latest_version(art_dir)
+            if v is None:
+                continue
+            meta = json.loads(
+                (art_dir / f"v{v}" / ".metadata.json").read_text()
+            )
+            out.append(meta["name"])
+        return out
+
     def exists(self, ref: str) -> bool:
         try:
             self.get(ref)
