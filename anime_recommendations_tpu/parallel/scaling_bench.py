@@ -116,7 +116,7 @@ def main(argv=None) -> None:
     parser.add_argument("--emb", type=int, default=128)
     parser.add_argument("--routing", choices=["alltoall", "psum"],
                         default="alltoall")
-    parser.add_argument("--optimizer", choices=["adam", "lazy_adam"],
+    parser.add_argument("--optimizer", choices=["adam", "lazy_adam", "fused_adam"],
                         default="adam")
     parser.add_argument("--cpu-devices", type=int, default=0,
                         help="force an N-device virtual CPU topology")
