@@ -152,6 +152,43 @@ def main() -> None:
         del st
     del data_full, ds_full
 
+    # Routed SPMD step on a 1x1 mesh, same 350K scale: the production
+    # multi-chip program (all-to-all exchange plan + owner-side fused
+    # Adam, parallel/sharded_train.py) timed on real silicon. The delta
+    # vs train350k_fused_adam_step_ms is the routing machinery's cost.
+    from anime_recommendations_tpu.parallel.mesh import make_mesh
+    from anime_recommendations_tpu.parallel.sharded_train import (
+        ShardedTrainStep, place_state,
+    )
+
+    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    sstep = ShardedTrainStep(
+        mesh1, l2_reg_factor=l2, routing="alltoall", optimizer="fused_adam"
+    )
+    sh = place_state(
+        init_train_state(jax.random.PRNGKey(3), n_users_full, n_anime, d),
+        mesh1, routing="alltoall",
+    )
+    sbatches = [
+        (
+            jnp.asarray(rng.integers(0, n_users_full, batch), jnp.int32),
+            jnp.asarray(rng.integers(0, n_anime, batch), jnp.int32),
+            jnp.asarray(rng.uniform(0, 1, batch), jnp.float32),
+            jnp.ones(batch, jnp.float32),
+        )
+        for _ in range(33)
+    ]
+    sh, sl, _ = sstep.train_step(sh, *sbatches[0], lr)
+    float(sl)  # compile + sync
+    t0 = time.perf_counter()
+    for b in sbatches[1:]:
+        sh, sl, _ = sstep.train_step(sh, *b, lr)
+    float(sl)
+    details["train350k_sharded_fused_step_ms"] = round(
+        (time.perf_counter() - t0) / (len(sbatches) - 1) * 1e3, 3
+    )
+    del sh, sbatches
+
     # ---- retrieval top-k QPS (full-dataset scale) ----------------------------
     # Dispatch many DISTINCT async calls and sync once: the device executes
     # them in order, so (total - one round-trip) / n isolates device time
