@@ -111,7 +111,7 @@ def _take_rows_fwd(table, idx):
 
 def _take_rows_bwd(res, g):
     idx, shape = res
-    order = jnp.argsort(idx)
+    order = jnp.argsort(idx, stable=False)  # grouping only for the scatter-add
     d_table = jnp.zeros(shape, g.dtype).at[idx[order]].add(
         g[order], indices_are_sorted=True, unique_indices=False
     )

@@ -121,7 +121,9 @@ class _Plan(NamedTuple):
 def _sort_key(ids: jax.Array, n_shards: int) -> jax.Array:
     """int32 key ordering by (owner, id) without int64 (x64 is off by
     default): owner*K + local with K = 2^31//m keeps every term < 2^31
-    for int32 ids (equal ids => equal keys; argsort is stable)."""
+    for int32 ids (equal ids => equal keys, so run detection and the
+    per-run segment sums are invariant to the unstable sort's order
+    within a run)."""
     if n_shards == 1:
         return ids
     k = (2**31) // n_shards
@@ -132,7 +134,7 @@ def _make_plan(ids: jax.Array, n_shards: int, capacity: int, axis) -> _Plan:
     b = ids.shape[0]
     m = n_shards
     owner = owner_of(ids, m)
-    order = jnp.argsort(_sort_key(ids, m))
+    order = jnp.argsort(_sort_key(ids, m), stable=False)
     ids_s = ids[order]
     owner_s = owner[order]
     is_start = jnp.concatenate(
@@ -194,6 +196,34 @@ def exchange_rows(
     return fn(table_local, ids)
 
 
+def exchange_rows_planned(
+    table_local: jax.Array,
+    ids: jax.Array,
+    plan: "_Plan",
+    *,
+    axis,
+    n_shards: int,
+    capacity: int,
+) -> jax.Array:
+    """Forward-only exchange_rows reusing a precomputed ``make_plan`` plan.
+
+    NOT differentiable (no VJP): for the owner-side-optimizer steps, which
+    take gradients w.r.t. the RETURNED rows and route them back themselves
+    (route_grad_rows / route_grads_lazy_adam with the same plan). Sharing
+    one plan per (ids, capacity) avoids paying the batch argsort + segment
+    machinery twice per table per step."""
+    return _planned_gather(
+        table_local, ids, plan, _axis_names(axis), n_shards, capacity,
+        table_local.shape[0],
+    )
+
+
+def make_plan(ids: jax.Array, n_shards: int, capacity: int, axis) -> "_Plan":
+    """Public alias of the exchange-plan builder, for plan sharing across
+    exchange_rows_planned / route_grad_rows / route_grads_lazy_adam."""
+    return _make_plan(ids, n_shards, capacity, _axis_names(axis))
+
+
 def _axis_names(axis) -> tuple:
     return (axis,) if isinstance(axis, str) else tuple(axis)
 
@@ -210,42 +240,48 @@ def _pvary(x, axis):
 import functools
 
 
+def _planned_gather(table_local, ids, plan, axis, m, cap, r_local):
+    """The exchange forward pass for a given plan: round-looped all-to-all
+    row requests + responses, then unsort back to batch order."""
+    b = ids.shape[0]
+    d = table_local.shape[1]
+
+    def body(carry):
+        r, uresp = carry
+        send_ids, slot_pos = _send_slot_ids(plan, r, cap, m)
+        recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0)      # [m, C]
+        lid = local_of(jnp.maximum(recv_ids, 0), m)
+        ok = (recv_ids >= 0) & (lid < r_local)
+        rows = jnp.where(
+            ok[:, :, None],
+            table_local[jnp.clip(lid, 0, r_local - 1)],
+            jnp.zeros((), table_local.dtype),
+        )                                                        # [m, C, D]
+        resp = jax.lax.all_to_all(rows, axis, 0, 0)              # [m, C, D]
+        uresp = uresp.at[slot_pos.reshape(-1)].set(
+            resp.reshape(-1, d), mode="drop", unique_indices=True
+        )
+        return r + 1, uresp
+
+    _, uresp = jax.lax.while_loop(
+        lambda c: c[0] < plan.rounds,
+        body,
+        (jnp.int32(0), _pvary(jnp.zeros((b, d), table_local.dtype), axis)),
+    )
+    out_sorted = uresp[plan.seg]                                 # fill dups
+    inv = jnp.zeros((b,), jnp.int32).at[plan.order].set(
+        jnp.arange(b, dtype=jnp.int32)
+    )
+    return out_sorted[inv]
+
+
 @functools.cache
 def _exchange_fn(axis, n_shards: int, capacity: int, r_local: int, dtype: str):
     m, cap = n_shards, capacity
 
     def _forward(table_local, ids):
         plan = _make_plan(ids, m, cap, axis)
-        b = ids.shape[0]
-        d = table_local.shape[1]
-
-        def body(carry):
-            r, uresp = carry
-            send_ids, slot_pos = _send_slot_ids(plan, r, cap, m)
-            recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0)      # [m, C]
-            lid = local_of(jnp.maximum(recv_ids, 0), m)
-            ok = (recv_ids >= 0) & (lid < r_local)
-            rows = jnp.where(
-                ok[:, :, None],
-                table_local[jnp.clip(lid, 0, r_local - 1)],
-                jnp.zeros((), table_local.dtype),
-            )                                                        # [m, C, D]
-            resp = jax.lax.all_to_all(rows, axis, 0, 0)              # [m, C, D]
-            uresp = uresp.at[slot_pos.reshape(-1)].set(
-                resp.reshape(-1, d), mode="drop", unique_indices=True
-            )
-            return r + 1, uresp
-
-        _, uresp = jax.lax.while_loop(
-            lambda c: c[0] < plan.rounds,
-            body,
-            (jnp.int32(0), _pvary(jnp.zeros((b, d), table_local.dtype), axis)),
-        )
-        out_sorted = uresp[plan.seg]                                 # fill dups
-        inv = jnp.zeros((b,), jnp.int32).at[plan.order].set(
-            jnp.arange(b, dtype=jnp.int32)
-        )
-        return out_sorted[inv]
+        return _planned_gather(table_local, ids, plan, axis, m, cap, r_local)
 
     @jax.custom_vjp
     def ex(table_local, ids):
@@ -345,6 +381,7 @@ def route_grads_lazy_adam(
     axis,
     n_shards: int,
     capacity: int,
+    plan: _Plan | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Reverse of exchange_rows for ROW-SPARSE optimizers: per-unique-id
     gradient sums travel back to the owning shard, which applies lazy Adam
@@ -361,7 +398,8 @@ def route_grads_lazy_adam(
     from anime_recommendations_tpu.train.lazy import lazy_row_adam
 
     m, cap = n_shards, capacity
-    plan = _make_plan(ids, m, cap, axis)
+    if plan is None:
+        plan = _make_plan(ids, m, cap, axis)
     b = ids.shape[0]
     r_local = w.shape[0]
     g_s = g_rows[plan.order]
@@ -405,6 +443,7 @@ def route_grad_rows(
     capacity: int,
     r_local: int,        # rows in the receiving shard's local table
     max_rounds: int | None = None,
+    plan: _Plan | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Reverse of exchange_rows WITHOUT an optimizer baked in: routes
     per-unique-id gradient sums back to the owning shards and returns the
@@ -429,7 +468,8 @@ def route_grad_rows(
     d = g_rows.shape[1]
     if max_rounds is None:
         max_rounds = -(-b // cap)
-    plan = _make_plan(ids, m, cap, axis)
+    if plan is None:
+        plan = _make_plan(ids, m, cap, axis)
     g_s = g_rows[plan.order]
     ugrad = jax.ops.segment_sum(g_s, plan.seg, num_segments=b)
     t_slots = max_rounds * m * cap
@@ -505,7 +545,7 @@ def psum_comm_bytes(
 def plan_stats(ids: jax.Array, n_shards: int, capacity: int):
     """(unique_ids, max_bucket, rounds) for a batch — host-side diagnostics
     for the comm log (no collectives; callable outside shard_map)."""
-    ids_s = ids[jnp.argsort(_sort_key(ids, n_shards))]
+    ids_s = ids[jnp.argsort(_sort_key(ids, n_shards), stable=False)]
     is_start = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
     owner_s = owner_of(ids_s, n_shards)
     hcnt = jnp.bincount(

@@ -337,15 +337,22 @@ class ShardedTrainStep:
         exchange both tables' rows, differentiate the data loss w.r.t. the
         EXCHANGED rows and head params — no dense table gradient ever
         exists on any shard. Returns
-        (loss, mse, (mean, var), d_u, d_a, d_head, cap_u, cap_a)."""
+        (loss, mse, (mean, var), d_u, d_a, d_head, plans)."""
         m = self._n_shards
         cap_u = self._capacity(users.shape[0])
         cap_a = self._capacity(anime.shape[0])
-        u_rows = rt.exchange_rows(
-            params.user_emb, users, axis=FULL_AXES, n_shards=m, capacity=cap_u
+        # ONE exchange plan per table, shared with the owner-side grad
+        # routing below — the batch argsort + segment machinery is paid
+        # once per table per step instead of twice.
+        plan_u = rt.make_plan(users, m, cap_u, FULL_AXES)
+        plan_a = rt.make_plan(anime, m, cap_a, FULL_AXES)
+        u_rows = rt.exchange_rows_planned(
+            params.user_emb, users, plan_u,
+            axis=FULL_AXES, n_shards=m, capacity=cap_u,
         )
-        a_rows = rt.exchange_rows(
-            params.anime_emb, anime, axis=FULL_AXES, n_shards=m, capacity=cap_a
+        a_rows = rt.exchange_rows_planned(
+            params.anime_emb, anime, plan_a,
+            axis=FULL_AXES, n_shards=m, capacity=cap_a,
         )
         head_params = (params.dense_w, params.dense_b,
                        params.bn_gamma, params.bn_beta)
@@ -372,7 +379,7 @@ class ShardedTrainStep:
         (loss, (mse, stats)), (d_u, d_a, d_head) = jax.value_and_grad(
             data_loss, argnums=(0, 1, 2), has_aux=True
         )(u_rows, a_rows, head_params)
-        return loss, mse, stats, d_u, d_a, d_head, cap_u, cap_a
+        return loss, mse, stats, d_u, d_a, d_head, (cap_u, plan_u), (cap_a, plan_a)
 
     @staticmethod
     def _head_adam(params, opt, d_head, t, lr):
@@ -405,7 +412,7 @@ class ShardedTrainStep:
         params = state.params
         opt: optax.ScaleByAdamState = state.opt_state
         m = self._n_shards
-        loss, mse, (mean, var), d_u, d_a, d_head, cap_u, cap_a = (
+        loss, mse, (mean, var), d_u, d_a, d_head, (cap_u, plan_u), (cap_a, plan_a) = (
             self._routed_forward_grads(params, users, anime, ratings, weights)
         )
 
@@ -413,12 +420,12 @@ class ShardedTrainStep:
         new_u = rt.route_grads_lazy_adam(
             params.user_emb, opt.mu.user_emb, opt.nu.user_emb,
             users, d_u, t, lr, self.l2,
-            axis=FULL_AXES, n_shards=m, capacity=cap_u,
+            axis=FULL_AXES, n_shards=m, capacity=cap_u, plan=plan_u,
         )
         new_a = rt.route_grads_lazy_adam(
             params.anime_emb, opt.mu.anime_emb, opt.nu.anime_emb,
             anime, d_a, t, lr, self.l2,
-            axis=FULL_AXES, n_shards=m, capacity=cap_a,
+            axis=FULL_AXES, n_shards=m, capacity=cap_a, plan=plan_a,
         )
 
         new_scalars, new_mu_s, new_nu_s = self._head_adam(
@@ -457,18 +464,18 @@ class ShardedTrainStep:
         params = state.params
         opt: optax.ScaleByAdamState = state.opt_state
         m = self._n_shards
-        loss, mse, (mean, var), d_u, d_a, d_head, cap_u, cap_a = (
+        loss, mse, (mean, var), d_u, d_a, d_head, (cap_u, plan_u), (cap_a, plan_a) = (
             self._routed_forward_grads(params, users, anime, ratings, weights)
         )
 
         t = opt.count + 1
         oid_u, og_u = rt.route_grad_rows(
             users, d_u, axis=FULL_AXES, n_shards=m, capacity=cap_u,
-            r_local=params.user_emb.shape[0],
+            r_local=params.user_emb.shape[0], plan=plan_u,
         )
         oid_a, og_a = rt.route_grad_rows(
             anime, d_a, axis=FULL_AXES, n_shards=m, capacity=cap_a,
-            r_local=params.anime_emb.shape[0],
+            r_local=params.anime_emb.shape[0], plan=plan_a,
         )
         w_u, mu_u, nu_u, sumsq_u = sparse_adam_update(
             params.user_emb, opt.mu.user_emb, opt.nu.user_emb,

@@ -73,7 +73,7 @@ def lazy_row_adam(
 ) -> _RowUpdate:
     """One lazy-Adam table update. Touches only rows in ``ids``."""
     b = ids.shape[0]
-    order = jnp.argsort(ids)
+    order = jnp.argsort(ids, stable=False)  # grouping only; sums are order-free
     ids_s = ids[order].astype(jnp.int32)
     g_s = g_rows[order]
 
