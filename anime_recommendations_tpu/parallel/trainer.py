@@ -12,6 +12,10 @@ Drop-in replacement for train.Trainer on a ('data','model') mesh. Handles:
   * optimizer="lazy_adam": owner-side row-sparse Adam on the routed path
     (routing.route_grads_lazy_adam) — per-step table traffic stays
     O(touched rows), never O(table)
+  * optimizer="fused_adam" (production): owner-side fused dense-Adam —
+    per-unique-row grad sums routed home (routing.route_grad_rows), ONE
+    Pallas pass per local table shard, exact dense semantics even under
+    multi-round overflow
 
 The reference scaled lr/batch by num_replicas_in_sync but then never used
 the scaled values (neural_network.py:176-177 vs :213 — dead code, SURVEY.md
