@@ -56,18 +56,21 @@ def _fused_adam_kernel(
     nu_ref,       # [R, D]
     ids_ref,      # [1, Bp+C] i32 sorted row ids (padded with -2^20)
     g_ref,        # [Bp+C, D] f32 row grads in sorted order (zero-padded)
-    # outputs (aliased onto w/mu/nu inputs)
-    w_out_ref,
-    mu_out_ref,
-    nu_out_ref,
-    sumsq_ref,    # [1, 1] f32 accumulated sum of squares (pre-update)
-    *,
+    *refs,        # [dense_ref [R, D]] if has_dense, then the 4 outputs:
+                  # w_out, mu_out, nu_out (aliased onto w/mu/nu), sumsq [1,1]
     block_rows: int,
     chunk: int,
     d: int,
     n_rows: int,
     highest: bool,
+    has_dense: bool,
 ):
+    it = iter(refs)
+    dense_ref = next(it) if has_dense else None
+    w_out_ref = next(it)
+    mu_out_ref = next(it)
+    nu_out_ref = next(it)
+    sumsq_ref = next(it)
     i = pl.program_id(0)
     base = i * block_rows
 
@@ -130,6 +133,11 @@ def _fused_adam_kernel(
     dscat = jax.lax.fori_loop(
         c0, c1, chunk_body, jnp.zeros((block_rows, d), jnp.float32)
     )
+    if has_dense:
+        # Pre-accumulated dense gradient (the routed path's multi-round
+        # overflow, routing.route_grad_rows) — added block-by-block, so
+        # its VMEM footprint is one table block regardless of round count.
+        dscat = dscat + dense_ref[:]
 
     # --- decay + Adam -------------------------------------------------------
     lr = scal_ref[0]
@@ -314,16 +322,20 @@ def sparse_adam_update(
     next_ids: jax.Array | None = None,
     interpret: bool | None = None,
     vma: tuple | frozenset | None = None,
+    dense_grad: jax.Array | None = None,   # [N, D] pre-accumulated grads
 ) -> tuple[jax.Array, ...]:
     """One fused sparse-Adam step. Returns (w', mu', nu', sumsq(w_before)).
 
     Equivalent to::
 
-        dense = zeros_like(w).at[ids].add(g_rows) + 2*l2*w
+        dense = zeros_like(w).at[ids].add(g_rows) + (dense_grad or 0) + 2*l2*w
         mu' = b1*mu + (1-b1)*dense; nu' = b2*nu + (1-b2)*dense**2
         w' = w - lr * (mu'/(1-b1**t)) / (sqrt(nu'/(1-b2**t)) + eps)
 
     but with one HBM pass over (w, mu, nu) and no dense-gradient round-trip.
+    ``dense_grad`` (an already-materialized [N, D] gradient, e.g. the
+    routed path's multi-round overflow accumulator) streams block-by-block
+    alongside the tables — bounded VMEM at any scale.
 
     With ``next_ids`` ([B2] i32), the kernel additionally returns
     ``w'[next_ids]`` as a 5th output, gathered block-by-block while the
@@ -351,6 +363,8 @@ def sparse_adam_update(
             jnp.zeros_like(w).at[ids].add(g_rows, mode="drop")
             + 2.0 * jnp.asarray(l2, jnp.float32) * w
         )
+        if dense_grad is not None:
+            dense = dense + dense_grad
         t = step.astype(jnp.float32)
         bc1 = 1.0 - jnp.float32(b1) ** t
         bc2 = 1.0 - jnp.float32(b2) ** t
@@ -381,7 +395,13 @@ def sparse_adam_update(
     g_s = jnp.pad(g_s, ((0, b_pad - b), (0, 0)))
 
     # Per-block segment starts over the sorted ids (scalar-prefetched).
-    bounds = jnp.arange(0, n_pad + 1, block_rows, dtype=jnp.int32)
+    # The last bound is clamped to n (not n_pad): drop-marker ids == n from
+    # routed receipts (routing.route_grad_rows) sort past every real id and
+    # must not inflate the final block's chunk range — their scatter is a
+    # provable no-op, but walking thousands of marker slots isn't free.
+    bounds = jnp.minimum(
+        jnp.arange(0, n_pad + 1, block_rows, dtype=jnp.int32), n
+    )
     starts = jnp.searchsorted(ids_s[:b], bounds, side="left").astype(jnp.int32)
 
     t = step.astype(jnp.float32)
@@ -404,15 +424,21 @@ def sparse_adam_update(
             _fused_adam_kernel,
             block_rows=block_rows, chunk=chunk, d=d, n_rows=n,
             highest=(precision == "highest"),
+            has_dense=dense_grad is not None,
         )
+        in_specs = [
+            table_spec, table_spec, table_spec,
+            pl.BlockSpec((1, b_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        extra = []
+        if dense_grad is not None:
+            in_specs.append(table_spec)
+            extra.append(dense_grad)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nb,),
-            in_specs=[
-                table_spec, table_spec, table_spec,
-                pl.BlockSpec((1, b_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 table_spec, table_spec, table_spec,
                 pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
@@ -437,10 +463,12 @@ def sparse_adam_update(
                 {2: 0, 3: 1, 4: 2} if alias_tables else {}
             ),
             interpret=interpret,
-        )(starts, scal, w, mu, nu, ids_s.reshape(1, -1), g_s)
+        )(starts, scal, w, mu, nu, ids_s.reshape(1, -1), g_s, *extra)
 
         return w2, mu2, nu2, sumsq[0, 0]
 
+    if dense_grad is not None:
+        raise NotImplementedError("dense_grad + next_ids (unused combination)")
     # Pipelined variant: also gather w'[next_ids] block-by-block.
     b2 = next_ids.shape[0]
     norder = jnp.argsort(next_ids, stable=False)  # dup ids -> same row

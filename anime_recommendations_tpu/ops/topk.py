@@ -7,24 +7,41 @@ grid step streams one row-block of the embedding table through VMEM,
 computes the block's scores on the MXU, applies validity masks, and reduces
 to a per-block candidate set on the VPU.
 
-Production path (two-stage, mirrors ops/quantized.py):
-  stage 1 — DEFAULT-precision matmul (single MXU pass even for f32 inputs)
+Production path (two-stage, shared with ops/quantized.py):
+  stage 1 — DEFAULT-precision matmul (one MXU pass even for f32 inputs)
             + grouped packed-max extraction: per 512-lane group the top_r
             best rows fall out of single int32 max passes (score bits
-            packed with the lane index, so max IS argmax);
-  stage 2 — the ~max(4k, 64) pooled candidates are gathered and rescored
+            packed with the lane index, so max IS argmax). The kernel
+            emits ONLY packed keys; row indices are reconstructed outside
+            from (candidate position, key low bits).
+  stage 2 — the pooled ~max(4k, 64) candidates are gathered and rescored
             in exact f32 (HIGHEST), and the true top-k of the pool returned.
-Measured on one TPU v5e chip, 350K x 128 f32, q=8, k=10: 0.238 ms vs the
-0.219 ms one-table-read DMA floor (the single-stage HIGHEST-precision
-kernel costs 1.076 ms — its 3-pass f32 matmul plus full-width extraction
-dominate; NOTES_PERF.md round-3 section has the variant table).
+
+Round-4 redesign (the q=256 batched-query fix — NOTES_PERF.md): the
+extraction phase is elementwise work over the full [Qp, B] score surface,
+so every avoidable VPU pass costs ~0.09 ms at q=256 over 350K rows.
+Changes vs round 3, each one removing whole passes:
+  * BIAS-TRICK keys: score + 2.0 is positive for every in-contract score
+    (cosine in [-1, 1]; sigmoid head in (0, 1)), and non-negative f32
+    bitcasts to a monotone int32 — no sign-fix compare/select. Masked
+    slots pack -1.0 (negative key), so liveness is just ``key > 0``.
+  * static specialization: the mask / exclude validity passes compile
+    only when a mask/exclude is actually passed; the ragged-tail row
+    guard runs only in the final grid block (pl.when).
+  * keys-only output: out_i writes dropped; index = block*Bk + group*G +
+    (key & (G-1)) computed once on the pooled m candidates.
+Measured (one v5e chip, 350K x 128 f32, k=10): q=256 3.58 -> ~0.7 ms
+(>360K QPS, exact-oracle overlap 1.0), q=8 unchanged ~0.23 ms.
 
 ``exact_scan=True`` keeps the adversarially-exact single-stage kernel
 (HIGHEST-precision scan, running-threshold block skip): stage 1's truncated
 keys (9 mantissa bits carry the lane index) could in principle demote a
-true top-k row past the pool boundary when >m-k rows tie within ~2^-9
-relative score — impossible to hit with real embedding geometry, but the
-escape hatch preserves a worst-case-exact mode.
+true top-k row past the pool boundary when >m-k rows tie within ~1e-4
+absolute score — impossible to hit with real embedding geometry (bench
+tracks overlap on TRAINED tables), but the escape hatch preserves a
+worst-case-exact mode. Stage-1 candidate RANKING additionally assumes
+scores > -2 (true for every in-repo caller; arbitrary unnormalized tables
+with scores below -2 should use exact_scan).
 
 HBM traffic is one read of the table (plus tiny outputs) — the
 speed-of-light bound for this op. Filters (type/genre restriction,
@@ -44,23 +61,9 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30  # masked-score sentinel (finite: avoids inf-inf NaNs)
 DEFAULT_BLOCK_ROWS = 2048
 
-GROUP = 512          # lanes per packed-extraction group
-IDX_BITS = 9         # log2(GROUP): index packed into the key's low bits
+GROUP = 512          # lanes per packed-extraction group (low bits carry lane)
 _INT_MIN = -(2 ** 31)  # int32 min as a python int (jnp constants get captured)
-
-
-def _float_key(scores: jax.Array) -> jax.Array:
-    """Order-preserving f32 -> int32 map (negatives un-reversed)."""
-    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
-    return jnp.where(bits >= 0, bits, jnp.int32(_INT_MIN) - bits)
-
-
-def key_threshold(x: float) -> int:
-    """Host-side _float_key for liveness thresholds."""
-    import numpy as np
-
-    bits = int(np.float32(x).view(np.int32))
-    return bits if bits >= 0 else -(2 ** 31) - bits
+_BIAS = 2.0          # score bias making every in-contract score positive
 
 
 def _topk_kernel(
@@ -165,67 +168,315 @@ def _topk_kernel(
 
 
 def _packed_topk_kernel(
-    q_ref,        # [Qp, D] queries, VMEM
-    w_ref,        # [B, D] table block, VMEM
-    mask_ref,     # [1, B] f32 row-validity (>0 keeps), VMEM
-    excl_ref,     # [1, Qp] i32 row to exclude per query (-1: none), VMEM
-    head_ref,     # [1, 2] f32 (alpha, beta) sigmoid head, SMEM
-    out_s_ref,    # [r_pad, Qp] int32 packed keys (order == score order)
-    out_i_ref,    # [r_pad, Qp] int32 global row indices
-    *,
+    *refs,
     top_r: int,
     r_pad: int,
     block_rows: int,
-    n_valid: int,
     use_head: bool,
+    has_mask: bool,
+    has_excl: bool,
+    quantized: bool,
+    group: int,
 ):
-    """Stage-1 candidate extraction (see module docstring): one
-    DEFAULT-precision matmul, then per 512-lane group the top_r rows via
-    single packed-max passes. The head sigmoid is applied before packing
-    because alpha may be negative (order would flip)."""
+    """Stage-1 candidate extraction (module docstring): one
+    DEFAULT-precision matmul, then per ``group``-lane group the top_r rows
+    via single packed-max passes. Emits only int32 packed keys whose order
+    equals score order and whose low bits carry the in-group lane.
+
+    Ref layout (statically specialized — absent features pass no ref):
+      q_ref, [qscale_ref], w_ref, [wscale_ref], [mask_ref], [excl_ref],
+      [head_ref], out_k_ref
+    """
+    it = iter(refs)
+    q_ref = next(it)
+    qscale_ref = next(it) if quantized else None
+    w_ref = next(it)
+    wscale_ref = next(it) if quantized else None
+    mask_ref = next(it) if has_mask else None
+    excl_ref = next(it) if has_excl else None
+    head_ref = next(it) if use_head else None
+    out_k_ref = next(it)
+
     b = pl.program_id(0)
     base = b * block_rows
-    group = min(GROUP, block_rows)
-    n_groups = block_rows // group
 
-    scores = jax.lax.dot_general(
-        q_ref[:],
-        w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Qp, B]: table rows on the LANE axis (full 8x128 VPU occupancy)
+    if quantized:
+        acc = jax.lax.dot_general(
+            q_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [Qp, B] exact int32
+        scores = (
+            acc.astype(jnp.float32)
+            * qscale_ref[0, :][:, None]
+            * wscale_ref[0, :][None, :]
+        )
+    else:
+        scores = jax.lax.dot_general(
+            q_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Qp, B]: table rows on the LANE axis (full 8x128 VPU occupancy)
     if use_head:
+        # Applied before packing: alpha may be negative (order would flip).
         scores = jax.nn.sigmoid(head_ref[0, 0] * scores + head_ref[0, 1])
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
-    valid = rows < n_valid
-    valid &= mask_ref[0, :][None, :] > 0.0          # [1,B] broadcasts over Qp
-    valid &= rows != excl_ref[0, :][:, None]        # per-query self-exclusion
-    scores = jnp.where(valid, scores, _NEG)
+    # Bias-trick key: every in-contract score lands in (0, +inf) after the
+    # bias, and non-negative f32s bitcast to a MONOTONE int32 — masked
+    # slots get -1.0, whose bitcast is negative (dead iff key <= 0).
+    # The grid covers only FULL blocks (the caller scores the < block_rows
+    # ragged tail densely in XLA and merges its candidates into the pool),
+    # so the kernel is branch-free: no row-bound pass, no pl.when regions.
+    s2 = scores + jnp.float32(_BIAS)
+    if has_mask or has_excl:
+        valid = None
+        if has_mask:
+            valid = mask_ref[0, :][None, :] > 0.0      # [1,B] broadcasts
+        if has_excl:
+            rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+            ex = rows != excl_ref[0, :][:, None]
+            valid = ex if valid is None else valid & ex
+        s2 = jnp.where(valid, s2, -1.0)
+    _extract_groups(s2, out_k_ref, top_r=top_r, r_pad=r_pad, group=group)
 
-    key = _float_key(scores)
-    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) % group
-    packed = (key & jnp.int32(~((1 << IDX_BITS) - 1))) | lane
 
-    qp = scores.shape[0]
-    for g in range(n_groups):
-        sub = packed[:, g * group:(g + 1) * group]
-        for j in range(top_r):
-            best = jnp.max(sub, axis=1)             # max IS argmax (packed)
-            out_s_ref[g * top_r + j, :] = best
-            out_i_ref[g * top_r + j, :] = (
-                base + g * group + (best & jnp.int32((1 << IDX_BITS) - 1))
-            )
-            sub = jnp.where(sub == best[:, None], jnp.int32(_INT_MIN), sub)
-    for j in range(n_groups * top_r, r_pad):
-        out_s_ref[j, :] = jnp.full((qp,), _INT_MIN, jnp.int32)
-        out_i_ref[j, :] = jnp.full((qp,), -1, jnp.int32)
+def _extract_groups(s2, out_k_ref, *, top_r: int, r_pad: int, group: int):
+    """Pack + per-group top_r max extraction over biased scores ``s2``.
+
+    3D-reshape form: [Qp, B] -> [Qp, n_groups, group] with the reduce over
+    the minor (lane) axis — measured 1.7x faster than per-group slicing at
+    q=256 (Mosaic keeps one clean vector loop instead of n_groups separate
+    reduce nests). Output rows are ROUND-major: row j*n_groups + g holds
+    group g's (j+1)-th best, so each round writes one contiguous [ng, Qp]
+    stripe (the tiny [Qp, top_r*ng] transpose happens once per block)."""
+    key = jax.lax.bitcast_convert_type(s2, jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) & jnp.int32(group - 1)
+    packed = (key & jnp.int32(~(group - 1))) | lane
+    qp, b = s2.shape
+    ng = b // group
+    p3 = packed.reshape(qp, ng, group)
+    outs = []
+    for j in range(top_r):
+        c = jnp.max(p3, axis=2)                     # [Qp, ng]; max IS argmax
+        outs.append(c)
+        if j + 1 < top_r:
+            p3 = jnp.where(p3 == c[:, :, None], jnp.int32(_INT_MIN), p3)
+    allc = jnp.concatenate(outs, axis=1)            # [Qp, top_r*ng], j-major
+    out_k_ref[:top_r * ng, :] = allc.T
+    for j in range(top_r * ng, r_pad):
+        out_k_ref[j, :] = jnp.full((qp,), _INT_MIN, jnp.int32)
+
+
+def _packed_candidates(
+    table: jax.Array,            # [N, D] f32/bf16 (or int8 when quantized)
+    queries_p: jax.Array,        # [Qp, D] padded queries, table dtype
+    *,
+    m: int,
+    n: int,
+    qn: int,
+    qp: int,
+    block_rows: int,
+    mask: jax.Array | None,
+    exclude_row: jax.Array | None,   # [1, Qp] i32 or None
+    head_arr: jax.Array | None,      # [1, 2] f32 or None
+    use_head: bool,
+    interpret: bool,
+    queries_f32: jax.Array,               # [Qn, D] ORIGINAL float queries
+    tail_table: jax.Array,                # [N, D] exact rows (f32/bf16)
+    tail_k: int,                          # exact tail candidates to keep
+    qscale_row: jax.Array | None = None,  # [1, Qp] f32 (quantized only)
+    wscale: jax.Array | None = None,      # [N] f32 (quantized only)
+    top_r: int | None = None,             # per-group depth (None = policy)
+) -> tuple[jax.Array, jax.Array]:
+    """Shared stage 1 for the float and int8 paths.
+
+    Returns (cand_rows [qn, M], alive [qn, M]): the pooled top-m candidate
+    global row indices per query from the FULL-block Pallas scan, plus up
+    to ``tail_k`` exact candidates from the < block_rows ragged tail
+    (scored densely in XLA — keeping the kernel branch-free measured ~2x
+    on the q=256 extraction, since a pl.when'd tail guard predicates the
+    whole extraction).
+    """
+    d = table.shape[1]
+    quantized = table.dtype == jnp.int8
+    # A block must be a whole number of GROUPs or tail rows would be
+    # matmul'd but never extraction candidates.
+    if block_rows > GROUP and block_rows % GROUP:
+        raise ValueError(f"block_rows={block_rows} not a multiple of {GROUP}")
+    group = min(GROUP, block_rows)
+    if group & (group - 1):
+        raise ValueError(
+            f"block_rows={block_rows} below {GROUP} must be a power of two "
+            "(the packed key's low bits carry the in-group lane)"
+        )
+    n_groups = block_rows // group
+    nb = n // block_rows                 # FULL blocks only; tail in XLA
+    rem = n - nb * block_rows
+    # Per-group depth: a true-top-k miss needs >top_r of the k winners in
+    # ONE ``group``-row group. Each extra round costs ~2 VPU passes over
+    # the full [Qp, N] score surface, so depth is the latency knob:
+    #   qp <= 64 (serving queries): top_r=3 — a 4-way 512-row collision is
+    #     ~7e-7/query at 350K rows even before the pool slack;
+    #   qp > 64 (batched throughput): top_r=2 — a 3-way collision is
+    #     ~2.6e-4/query (documented trade; NOTES_PERF round 4 has the
+    #     variant table, bench tracks trained-table overlap). Callers can
+    #     pin ``top_r`` explicitly; exact_scan remains the exact mode.
+    if top_r is None:
+        top_r = 3 if qp <= 64 else 2
+    top_r = max(top_r, -(-m // max(nb * n_groups, 1)) + 1)
+    top_r = min(top_r, group)
+    r_pad = _round_up(n_groups * top_r, 8)
+
+    if nb == 0:
+        # Whole table smaller than one block (interpret-mode tiny tables;
+        # the compiled path shortcuts to _xla_topk before getting here):
+        # everything is "tail", no kernel launch at all.
+        cand = jnp.zeros((qn, 0), jnp.int32)
+        alive = jnp.zeros((qn, 0), bool)
+        return _append_tail_candidates(
+            cand, alive, n_full=0, rem=rem, tail_table=tail_table,
+            queries_f32=queries_f32, qn=qn, mask=mask,
+            exclude_row=exclude_row, head_arr=head_arr, use_head=use_head,
+            tail_k=tail_k,
+        )
+
+    kernel = functools.partial(
+        _packed_topk_kernel,
+        top_r=top_r, r_pad=r_pad, block_rows=block_rows,
+        use_head=use_head, has_mask=mask is not None,
+        has_excl=exclude_row is not None, quantized=quantized, group=group,
+    )
+    in_specs = [pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    args = [queries_p]
+    if quantized:
+        in_specs.append(
+            pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        args.append(qscale_row)
+    in_specs.append(
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM))
+    args.append(table)
+    if quantized:
+        in_specs.append(
+            pl.BlockSpec((1, block_rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM))
+        args.append(wscale.reshape(1, n))
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, block_rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM))
+        args.append(mask.astype(jnp.float32).reshape(1, n))
+    if exclude_row is not None:
+        in_specs.append(
+            pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        args.append(exclude_row)
+    if use_head:
+        in_specs.append(
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM))
+        args.append(head_arr)
+
+    block_k = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r_pad, qp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * r_pad, qp), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(*args)
+
+    cand_keys = block_k.T[:qn]           # packed int32; int order == score order
+    m_eff = min(m, cand_keys.shape[1])
+    keys, pos = jax.lax.top_k(cand_keys, m_eff)
+    # Reconstruct global rows from the candidate position + key low bits:
+    # pos -> (block, group) — rows are ROUND-major within a block (row
+    # j*ng + g, see _extract_groups) — and key & (group-1) is the lane.
+    blk = pos // r_pad
+    grp = (pos % r_pad) % n_groups
+    cand = blk * block_rows + grp * group + (keys & jnp.int32(group - 1))
+    # A non-positive key is a masked / padding slot (bias-trick keys of
+    # live scores are strictly positive) — keep it dead.
+    alive = keys > 0
+
+    return _append_tail_candidates(
+        cand, alive, n_full=nb * block_rows, rem=rem, tail_table=tail_table,
+        queries_f32=queries_f32, qn=qn, mask=mask, exclude_row=exclude_row,
+        head_arr=head_arr, use_head=use_head, tail_k=tail_k,
+    )
+
+
+def _append_tail_candidates(
+    cand, alive, *, n_full, rem, tail_table, queries_f32, qn, mask,
+    exclude_row, head_arr, use_head, tail_k,
+):
+    """Score the trailing < block_rows rows densely in XLA (HIGHEST
+    precision — exact) and append the tail's own top-k to the candidate
+    pool. Costs one [Qn, rem] matmul; keeps the Pallas grid branch-free
+    over full blocks (a pl.when'd tail guard predicates the whole
+    extraction — measured ~2x on the q=256 scan)."""
+    if not rem:
+        return cand, alive
+    wt = tail_table[n_full:].astype(jnp.float32)          # [rem, D]
+    st = jax.lax.dot_general(
+        queries_f32.astype(jnp.float32), wt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # [Qn, rem]
+    if use_head:
+        st = jax.nn.sigmoid(head_arr[0, 0] * st + head_arr[0, 1])
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1) + n_full
+    valid_t = jnp.ones(st.shape, bool)
+    if mask is not None:
+        valid_t &= (mask.astype(jnp.float32) > 0.0)[None, n_full:]
+    if exclude_row is not None:
+        valid_t &= rows_t != exclude_row[0, :qn][:, None]
+    st = jnp.where(valid_t, st, _NEG)
+    kt = min(tail_k, rem)
+    tv, tp = jax.lax.top_k(st, kt)
+    cand = jnp.concatenate([cand, tp + n_full], axis=1)
+    alive = jnp.concatenate([alive, tv > _NEG / 2], axis=1)
+    return cand, alive
+
+
+def _rescore_pool(
+    table_f32: jax.Array,        # [N, D] exact rows (f32 or bf16)
+    queries: jax.Array,          # [Qn, D]
+    cand: jax.Array,             # [Qn, m]
+    alive: jax.Array,            # [Qn, m]
+    k: int,
+    head: jax.Array | None,
+    use_head: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Stage 2: exact f32 rescore of the candidate pool, true top-k of it."""
+    n = table_f32.shape[0]
+    m = cand.shape[1]
+    safe = jnp.clip(cand, 0, n - 1)
+    rows = table_f32[safe].astype(jnp.float32)                # [Qn, m, D]
+    scores = jnp.einsum(
+        "qd,qmd->qm", queries.astype(jnp.float32), rows,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if use_head:
+        scores = jax.nn.sigmoid(head[0] * scores + head[1])
+    scores = jnp.where(alive, scores, _NEG)
+    cand = jnp.where(alive, cand, -1)
+    kk = min(k, m)
+    top_s, pos2 = jax.lax.top_k(scores, kk)
+    top_i = jnp.take_along_axis(cand, pos2, axis=1)
+    if k > kk:
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - kk)), constant_values=_NEG)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)), constant_values=-1)
+    return top_s, top_i
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "block_rows", "interpret", "use_head", "lane_pad", "exact_scan"
+        "k", "block_rows", "interpret", "use_head", "lane_pad", "exact_scan",
+        "top_r",
     ),
 )
 def masked_topk(
@@ -240,6 +491,7 @@ def masked_topk(
     use_head: bool = False,
     lane_pad: int = 8,
     exact_scan: bool = False,
+    top_r: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k of (optionally transformed) ``table @ queries.T`` scores.
 
@@ -258,11 +510,16 @@ def masked_topk(
     qn = queries.shape[0]
     itemsize = jnp.dtype(table.dtype).itemsize
     block_rows = min(block_rows, _round_up(n, 8))
-    # VMEM guard: the unrolled extraction keeps a few live [qp, B] f32
-    # copies plus the double-buffered table block; clamp the block so scoped
-    # VMEM stays well under the ~16 MB budget. The bound is on table BYTES
-    # per block, so bf16 tables stream 2x the rows per grid step.
+    if block_rows < GROUP:  # pow2 so the packed key's lane bits are a mask
+        block_rows = 1 << (block_rows - 1).bit_length()
+    # VMEM guards: (a) the table block plus double-buffering must stay
+    # small (bytes bound, so bf16 tables stream 2x the rows per step);
+    # (b) the extraction keeps ~3 live [qp, B] f32 surfaces, so large
+    # query batches shrink the block instead of OOMing scoped VMEM.
+    qp = _round_up(max(qn, 1), lane_pad)
     while block_rows > 512 and block_rows * d * itemsize > 2 * 1024 * 1024:
+        block_rows //= 2
+    while block_rows > 512 and qp * block_rows * 4 > 4 * 1024 * 1024:
         block_rows //= 2
     # Single-block grids gain nothing from the Pallas pipeline (no DMA to
     # overlap) and pay a full Mosaic compile — on remote-attached TPUs that
@@ -273,7 +530,6 @@ def masked_topk(
     if k > block_rows:
         raise ValueError(f"k={k} must be <= block_rows={block_rows}")
 
-    qp = _round_up(max(qn, 1), lane_pad)
     # The table is NOT padded: a ragged trailing block reads undefined rows,
     # which the kernels kill via the rows < n_valid mask. Padding here would
     # jnp.pad-COPY the whole table in HBM every call — measured at ~0.5 ms
@@ -283,99 +539,42 @@ def masked_topk(
     queries_p = jnp.pad(
         queries.astype(table.dtype), ((0, qp - qn), (0, 0))
     )
-    if mask is None:
-        mask_row = jnp.ones((1, n), jnp.float32)
-    else:
-        mask_row = mask.astype(jnp.float32).reshape(1, n)
     if exclude is None:
-        excl_row = jnp.full((1, qp), -1, jnp.int32)
+        excl_row = None
     else:
         excl_row = jnp.pad(
             exclude.astype(jnp.int32).reshape(1, qn),
             ((0, 0), (0, qp - qn)),
             constant_values=-1,
         )
-    if head is None:
-        head_arr = jnp.zeros((1, 2), jnp.float32)
-    else:
-        head_arr = head.astype(jnp.float32).reshape(1, 2)
+    head_arr = None if head is None else head.astype(jnp.float32).reshape(1, 2)
 
     if exact_scan:
+        mask_row = (jnp.ones((1, n), jnp.float32) if mask is None
+                    else mask.astype(jnp.float32).reshape(1, n))
+        ex_row = (jnp.full((1, qp), -1, jnp.int32) if excl_row is None
+                  else excl_row)
+        h_arr = (jnp.zeros((1, 2), jnp.float32) if head_arr is None
+                 else head_arr)
         return _exact_scan_topk(
-            table, queries_p, mask_row, excl_row, head_arr,
+            table, queries_p, mask_row, ex_row, h_arr,
             k=k, n=n, qn=qn, qp=qp, nb=nb, block_rows=block_rows,
             use_head=use_head, interpret=interpret,
         )
 
-    # ---- stage 1: packed grouped candidate scan --------------------------------
-    # A block must be a whole number of GROUPs or tail rows would be
-    # matmul'd but never extraction candidates.
-    if block_rows > GROUP and block_rows % GROUP:
-        raise ValueError(f"block_rows={block_rows} not a multiple of {GROUP}")
-    group = min(GROUP, block_rows)
-    n_groups = block_rows // group
-    m = min(max(4 * k, 64), n)
-    # Per-group depth: a true-top-k miss needs >top_r of the k winners in
-    # ONE 512-row group (same policy as ops/quantized.py stage 1).
-    top_r = max(3, -(-m // max(nb * n_groups, 1)) + 1)
-    top_r = min(top_r, group)
-    r_pad = _round_up(n_groups * top_r, 8)
-
-    kernel = functools.partial(
-        _packed_topk_kernel,
-        top_r=top_r, r_pad=r_pad, block_rows=block_rows, n_valid=n,
-        use_head=use_head,
+    # Float pool: stage-1 keys carry only DEFAULT-precision (bf16-product)
+    # noise ~3e-3 relative plus the ~1e-4 lane truncation, so ~2 slack rows
+    # per noise-width around the k-th score need covering — 2k+12 gives
+    # >20 rows of slack (HIGHEST-precision stage 1 measured +1.3 ms at
+    # q=256; a wider pool at +0.1 ms is the better trade).
+    m = min(max(2 * k + 12, 32), n)
+    cand, alive = _packed_candidates(
+        table, queries_p, m=m, n=n, qn=qn, qp=qp, block_rows=block_rows,
+        mask=mask, exclude_row=excl_row, head_arr=head_arr,
+        use_head=use_head, interpret=interpret, top_r=top_r,
+        queries_f32=queries[:qn], tail_table=table, tail_k=k,
     )
-    block_s, block_i = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((r_pad, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_pad, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb * r_pad, qp), jnp.int32),
-            jax.ShapeDtypeStruct((nb * r_pad, qp), jnp.int32),
-        ),
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-    )(queries_p, table, mask_row, excl_row, head_arr)
-
-    # ---- stage 2: exact f32 rescore of the pooled candidates -------------------
-    cand_keys = block_s.T[:qn]           # packed int32; int order == score order
-    cand_rows = block_i.T[:qn]
-    _, pos = jax.lax.top_k(cand_keys, m)
-    cand = jnp.take_along_axis(cand_rows, pos, axis=1)
-    keys = jnp.take_along_axis(cand_keys, pos, axis=1)
-    # A key at the packed sentinel is exhausted/masked padding — it must
-    # stay dead, not rescored (its lane bits could alias a live row).
-    alive = (cand >= 0) & (keys > key_threshold(_NEG / 2))
-    safe = jnp.clip(cand, 0, n - 1)
-    rows = table[safe].astype(jnp.float32)                    # [Qn, m, D]
-    scores = jnp.einsum(
-        "qd,qmd->qm", queries[:qn].astype(jnp.float32), rows,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    if use_head:
-        scores = jax.nn.sigmoid(head[0] * scores + head[1])
-    scores = jnp.where(alive, scores, _NEG)
-    cand = jnp.where(alive, cand, -1)
-    kk = min(k, m)
-    top_s, pos2 = jax.lax.top_k(scores, kk)
-    top_i = jnp.take_along_axis(cand, pos2, axis=1)
-    if k > kk:
-        top_s = jnp.pad(top_s, ((0, 0), (0, k - kk)), constant_values=_NEG)
-        top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)), constant_values=-1)
-    return top_s, top_i
+    return _rescore_pool(table, queries[:qn], cand, alive, k, head, use_head)
 
 
 def _exact_scan_topk(

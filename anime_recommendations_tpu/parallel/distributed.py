@@ -175,19 +175,93 @@ def worker_step(
     }
 
 
+def worker_fit(
+    data_axis: int,
+    model_axis: int,
+    n_users: int = 512,
+    n_anime: int = 128,
+    rows: int = 8192,
+    batch: int = 512,
+    epochs: int = 3,
+    optimizer: str = "fused_adam",
+    seed: int = 0,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> dict:
+    """A FULL ``ShardedTrainer.fit`` across all processes: device epoch
+    scan (train + on-mesh holdout eval in one program per epoch, with
+    precomputed exchange plans for the routed optimizers), best-checkpoint
+    Orbax saves, and optional same-mesh resume — the engine equivalent of
+    the reference's complete ``model.fit`` under TPUStrategy
+    (neural_network.py:174-217), not just isolated steps.
+
+    Every process builds the identical synthetic dataset (same seed) and
+    stages it via put_global (each host materializes only its own devices'
+    shards); loss/val metrics are mesh-psum'd, so the returned history must
+    be identical on every process AND identical to a single-process run on
+    the same mesh size.
+    """
+    import numpy as np
+
+    from anime_recommendations_tpu.data.dataset import RatingsDataset
+    from anime_recommendations_tpu.parallel.trainer import ShardedTrainer
+
+    rng = np.random.default_rng(seed + 17)
+    users = rng.integers(0, n_users, rows).astype(np.int32)
+    anime = rng.integers(0, n_anime, rows).astype(np.int32)
+    ratings = rng.uniform(0, 1, rows).astype(np.float32)
+    cut = rows - max(rows // 8, batch)
+    train = RatingsDataset(users[:cut], anime[:cut], ratings[:cut])
+    holdout = RatingsDataset(users[cut:], anime[cut:], ratings[cut:])
+
+    trainer = ShardedTrainer(
+        embedding_size=16,
+        batch_size=batch,
+        epochs=epochs,
+        data_axis=data_axis,
+        model_axis=model_axis,
+        device_loop=True,
+        optimizer=optimizer,
+        seed=seed,
+        patience=max(epochs, 3),   # no early stop inside the short test
+        verbose=False,
+        checkpoint_dir=checkpoint_dir,
+        max_lr=5e-3, start_lr=1e-3, min_lr=1e-3, rampup_epochs=2,
+    )
+    result = trainer.fit(train, holdout, n_users, n_anime, resume=resume)
+    return {
+        "process": jax.process_index(),
+        "n_processes": jax.process_count(),
+        "devices": jax.device_count(),
+        "loss": result.history["loss"].round(6).tolist(),
+        "val_loss": result.history["val_loss"].round(6).tolist(),
+        "best_epoch": result.best_epoch,
+        "epochs_run": result.epochs_run,
+        # Fingerprint of the fitted (allgathered, unstriped) user table:
+        # identical across processes iff the SPMD fit and the cross-process
+        # state pull both worked.
+        "user_emb_absum": float(np.abs(result.state.params.user_emb).sum()),
+    }
+
+
 def main(argv=None) -> None:
     import argparse
     import json
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--worker", action="store_true")
+    parser.add_argument("--fit", action="store_true",
+                        help="run a full ShardedTrainer.fit instead of raw steps")
     parser.add_argument("--cpu-devices", type=int, default=0,
                         help="local virtual CPU devices for this process")
     parser.add_argument("--data-axis", type=int, default=-1)
     parser.add_argument("--model-axis", type=int, default=1)
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--steps", type=int, default=2)
+    parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument("--optimizer", default="adam")
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--resume", action="store_true")
     args = parser.parse_args(argv)
 
     if args.cpu_devices:
@@ -197,10 +271,17 @@ def main(argv=None) -> None:
     data_axis = args.data_axis
     if data_axis == -1:
         data_axis = jax.device_count() // args.model_axis
-    out = worker_step(
-        data_axis, args.model_axis, batch=args.batch, steps=args.steps,
-        optimizer=args.optimizer,
-    )
+    if args.fit:
+        out = worker_fit(
+            data_axis, args.model_axis, batch=args.batch, epochs=args.epochs,
+            optimizer=args.optimizer, checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+    else:
+        out = worker_step(
+            data_axis, args.model_axis, batch=args.batch, steps=args.steps,
+            optimizer=args.optimizer,
+        )
     print(json.dumps(out), flush=True)
 
 

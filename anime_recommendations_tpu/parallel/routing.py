@@ -443,39 +443,53 @@ def route_grad_rows(
     capacity: int,
     r_local: int,        # rows in the receiving shard's local table
     max_rounds: int | None = None,
+    staged_rounds: int = 4,
     plan: _Plan | None = None,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array | None]:
     """Reverse of exchange_rows WITHOUT an optimizer baked in: routes
-    per-unique-id gradient sums back to the owning shards and returns the
-    owner-side receipts ``(local_ids [T], grads [T, D])`` with
-    ``T = max_rounds * n_shards * capacity``.
+    per-unique-id gradient sums back to the owning shards and returns
+    ``(local_ids [T], grads [T, D], dense_overflow [R, D] | None)`` with
+    ``T = min(max_rounds, staged_rounds) * n_shards * capacity``.
 
     Undelivered slots carry the drop marker ``local_id == r_local`` (one
     past the local table) and ZERO gradients, so any scatter-ADD consumer
     — ops/fused_adam.sparse_adam_update in particular — treats them as
-    no-ops. Because receipts from ALL overflow rounds are staged before a
-    single optimizer application, the result is EXACT dense-Adam (or exact
+    no-ops. Because receipts from ALL rounds are accounted before a single
+    optimizer application, the result is EXACT dense-Adam (or exact
     one-update-per-row lazy) semantics even under multi-round overflow,
     unlike route_grads_lazy_adam's bounded per-round deviation.
 
     ``max_rounds`` defaults to ceil(B / capacity) — the static worst case
-    (a sender's whole batch landing in one owner bucket), so by
-    construction no round is ever dropped. T then scales as ~B * n_shards
-    slots; size capacity accordingly if staging VMEM matters downstream.
+    (a sender's whole batch landing in one owner bucket), so no round is
+    ever dropped. An explicitly SMALLER ``max_rounds`` truncates the
+    exchange loop itself: rounds past it are not exchanged at all (their
+    gradient contribution is dropped, deterministically — assert the
+    plan's rounds fit if that matters to you).
+
+    ``staged_rounds`` bounds the receipt buffer: rounds below it stage
+    per-slot receipts (what the fused kernel's VMEM wants — T stays
+    O(staged_rounds * m * capacity) instead of growing ~B * m with shard
+    count); any round at or past it scatter-adds into the returned
+    [r_local, D] dense overflow gradient instead, which the consumer adds
+    per table block (ops/fused_adam.sparse_adam_update ``dense_grad``).
+    ``dense_overflow`` is None — statically absent, costing nothing —
+    whenever every possible round fits the staged buffer.
     """
     m, cap = n_shards, capacity
     b = ids.shape[0]
     d = g_rows.shape[1]
     if max_rounds is None:
         max_rounds = -(-b // cap)
+    staged = min(max_rounds, staged_rounds)
+    has_overflow = max_rounds > staged
     if plan is None:
         plan = _make_plan(ids, m, cap, axis)
     g_s = g_rows[plan.order]
     ugrad = jax.ops.segment_sum(g_s, plan.seg, num_segments=b)
-    t_slots = max_rounds * m * cap
+    t_slots = staged * m * cap
 
     def body(carry):
-        r, oid, og = carry
+        r, oid, og, dense = carry
         send_ids, slot_pos = _send_slot_ids(plan, r, cap, m)
         recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0)          # [m, C]
         send_g = jnp.where(
@@ -486,30 +500,42 @@ def route_grad_rows(
         recv_g = jax.lax.all_to_all(send_g, axis, 0, 0)              # [m, C, D]
         lid = local_of(jnp.maximum(recv_ids, 0), m)
         ok = (recv_ids >= 0) & (lid < r_local)
-        # plan.rounds <= max_rounds by construction of the default; the
-        # clamp only guards explicitly-small max_rounds overrides.
-        base = jnp.minimum(r, max_rounds - 1) * jnp.int32(m * cap)
+        staged_round = r < staged
+        # Staged rounds land in their own receipt segment; overflow rounds
+        # write to DISTINCT out-of-buffer positions (dropped) and
+        # scatter-add into the dense gradient instead.
+        base = jnp.where(staged_round, r, staged) * jnp.int32(m * cap)
         pos = base + jnp.arange(m * cap, dtype=jnp.int32)
         oid = oid.at[pos].set(
             jnp.where(ok.reshape(-1), lid.reshape(-1), r_local).astype(jnp.int32),
-            unique_indices=True,
+            mode="drop", unique_indices=True,
         )
         og = og.at[pos].set(
             jnp.where(ok.reshape(-1)[:, None], recv_g.reshape(-1, d), 0.0),
-            unique_indices=True,
+            mode="drop", unique_indices=True,
         )
-        return r + 1, oid, og
+        if has_overflow:
+            tgt = jnp.where(ok & jnp.logical_not(staged_round), lid, r_local)
+            dense = dense.at[tgt.reshape(-1)].add(
+                recv_g.reshape(-1, d), mode="drop"
+            )
+        return r + 1, oid, og, dense
 
-    _, oid, og = jax.lax.while_loop(
-        lambda c: c[0] < plan.rounds,
+    dense0 = (
+        _pvary(jnp.zeros((r_local, d), g_rows.dtype), axis)
+        if has_overflow else jnp.zeros((), g_rows.dtype)
+    )
+    _, oid, og, dense = jax.lax.while_loop(
+        lambda c: c[0] < jnp.minimum(plan.rounds, max_rounds),
         body,
         (
             jnp.int32(0),
             _pvary(jnp.full((t_slots,), r_local, jnp.int32), axis),
             _pvary(jnp.zeros((t_slots, d), g_rows.dtype), axis),
+            dense0,
         ),
     )
-    return oid, og
+    return oid, og, (dense if has_overflow else None)
 
 
 # ---- comm accounting --------------------------------------------------------------

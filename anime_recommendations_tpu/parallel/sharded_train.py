@@ -110,10 +110,39 @@ def _map_tables(state: TrainState, fn) -> TrainState:
     )
 
 
+def put_global(x, sharding):
+    """Place identical host data under a (possibly multi-host) sharding.
+
+    Single-process shardings take the plain device_put path; a sharding
+    with non-addressable devices (a mesh spanning processes) goes through
+    make_array_from_callback — every process holds the SAME host value and
+    materializes only the shards its own devices own (the pattern of
+    parallel/distributed.worker_step, generalized)."""
+    if getattr(sharding, "is_fully_addressable", True):
+        return jax.device_put(x, sharding)
+    host = np.asarray(x)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
+def to_host(x) -> np.ndarray:
+    """Fetch a (possibly multi-host) array to every process' host memory.
+
+    Fully-addressable arrays are a plain np.asarray; cross-process arrays
+    are allgathered so every process sees the full value (the multi-host
+    analog of pulling the fitted state off-device)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def place_state(
     state: TrainState, mesh, shard_anime: bool = False, routing: str = "alltoall"
 ) -> TrainState:
-    """device_put a LOGICAL-order TrainState onto the mesh.
+    """Place a LOGICAL-order TrainState onto the mesh (multi-host safe).
 
     In alltoall mode both tables are permuted to the mod-striped physical
     layout first (routing.to_physical) so the contiguous NamedSharding
@@ -125,12 +154,15 @@ def place_state(
         state = _map_tables(
             state, lambda t: rt.to_physical(np.asarray(t), m)
         )
-    return jax.device_put(state, state_shardings(mesh, shard_anime, routing))
+    return jax.tree.map(
+        put_global, state, state_shardings(mesh, shard_anime, routing)
+    )
 
 
 def unstripe_state(state: TrainState, mesh, routing: str = "alltoall") -> TrainState:
-    """Pull a mesh-placed TrainState to host in LOGICAL row order."""
-    state = jax.tree.map(np.asarray, state)
+    """Pull a mesh-placed TrainState to host in LOGICAL row order (cross-
+    process arrays are allgathered so every host gets the full tables)."""
+    state = jax.tree.map(to_host, state)
     if routing == "alltoall":
         m = mesh.devices.size
         state = _map_tables(state, lambda t: rt.from_physical(t, m))
@@ -189,6 +221,7 @@ class ShardedTrainStep:
         self._train = self._build_train()
         self._eval = self._build_eval()
         self._grads = self._build_grads()
+        self._train_planned_mapped = self._build_train_planned()
 
     # ---- public API -----------------------------------------------------------
 
@@ -332,20 +365,31 @@ class ShardedTrainStep:
             mse,
         )
 
-    def _routed_forward_grads(self, params, users, anime, ratings, weights):
+    def _routed_forward_grads(self, params, users, anime, ratings, weights,
+                              plans=None):
         """Shared forward+backward of the routed (owner-side-update) steps:
         exchange both tables' rows, differentiate the data loss w.r.t. the
         EXCHANGED rows and head params — no dense table gradient ever
         exists on any shard. Returns
-        (loss, mse, (mean, var), d_u, d_a, d_head, plans)."""
+        (loss, mse, (mean, var), d_u, d_a, d_head, plans).
+
+        ``plans=(plan_u, plan_a)`` reuses PRECOMPUTED exchange plans (the
+        staged-epoch path: plans are pure functions of the batch ids, and
+        batch COMPOSITION is fixed at stage time, so the per-step batch
+        argsort + segment machinery — the dominant non-bandwidth cost of
+        the routed step, NOTES_PERF.md — is paid once per fit instead of
+        once per step)."""
         m = self._n_shards
         cap_u = self._capacity(users.shape[0])
         cap_a = self._capacity(anime.shape[0])
-        # ONE exchange plan per table, shared with the owner-side grad
-        # routing below — the batch argsort + segment machinery is paid
-        # once per table per step instead of twice.
-        plan_u = rt.make_plan(users, m, cap_u, FULL_AXES)
-        plan_a = rt.make_plan(anime, m, cap_a, FULL_AXES)
+        if plans is not None:
+            plan_u, plan_a = plans
+        else:
+            # ONE exchange plan per table, shared with the owner-side grad
+            # routing below — the batch argsort + segment machinery is
+            # paid once per table per step instead of twice.
+            plan_u = rt.make_plan(users, m, cap_u, FULL_AXES)
+            plan_a = rt.make_plan(anime, m, cap_a, FULL_AXES)
         u_rows = rt.exchange_rows_planned(
             params.user_emb, users, plan_u,
             axis=FULL_AXES, n_shards=m, capacity=cap_u,
@@ -400,7 +444,8 @@ class ShardedTrainStep:
             new_scalars[name], new_mu_s[name], new_nu_s[name] = p, mu_, nu_
         return new_scalars, new_mu_s, new_nu_s
 
-    def _lazy_step(self, state: TrainState, users, anime, ratings, weights, lr):
+    def _lazy_step(self, state: TrainState, users, anime, ratings, weights, lr,
+                   plans=None):
         """Row-sparse Adam on the routed path (train/lazy.py semantics).
 
         Per-unique-row grad sums travel back to the owning shard over the
@@ -413,7 +458,8 @@ class ShardedTrainStep:
         opt: optax.ScaleByAdamState = state.opt_state
         m = self._n_shards
         loss, mse, (mean, var), d_u, d_a, d_head, (cap_u, plan_u), (cap_a, plan_a) = (
-            self._routed_forward_grads(params, users, anime, ratings, weights)
+            self._routed_forward_grads(params, users, anime, ratings, weights,
+                                       plans)
         )
 
         t = opt.count + 1
@@ -444,7 +490,8 @@ class ShardedTrainStep:
         )
         return new_state, loss, mse
 
-    def _fused_step(self, state: TrainState, users, anime, ratings, weights, lr):
+    def _fused_step(self, state: TrainState, users, anime, ratings, weights, lr,
+                    plans=None):
         """Owner-side FUSED dense-Adam on the routed path: exact dense-Adam
         semantics (every local row decays + updates moments each step, the
         loss includes the L2 value) at one Pallas pass per local table
@@ -465,15 +512,21 @@ class ShardedTrainStep:
         opt: optax.ScaleByAdamState = state.opt_state
         m = self._n_shards
         loss, mse, (mean, var), d_u, d_a, d_head, (cap_u, plan_u), (cap_a, plan_a) = (
-            self._routed_forward_grads(params, users, anime, ratings, weights)
+            self._routed_forward_grads(params, users, anime, ratings, weights,
+                                       plans)
         )
 
         t = opt.count + 1
-        oid_u, og_u = rt.route_grad_rows(
+        # Receipts are staged for the first staged_rounds overflow rounds
+        # (bounded VMEM in the fused kernel); rarer deeper overflow comes
+        # back as a dense per-shard gradient the kernel streams block-by-
+        # block — exact dense-Adam semantics at ANY skew/shard count
+        # (routing.route_grad_rows docstring).
+        oid_u, og_u, dense_u = rt.route_grad_rows(
             users, d_u, axis=FULL_AXES, n_shards=m, capacity=cap_u,
             r_local=params.user_emb.shape[0], plan=plan_u,
         )
-        oid_a, og_a = rt.route_grad_rows(
+        oid_a, og_a, dense_a = rt.route_grad_rows(
             anime, d_a, axis=FULL_AXES, n_shards=m, capacity=cap_a,
             r_local=params.anime_emb.shape[0], plan=plan_a,
         )
@@ -481,11 +534,13 @@ class ShardedTrainStep:
             params.user_emb, opt.mu.user_emb, opt.nu.user_emb,
             oid_u, og_u, t, lr, l2=self.l2,
             b1=B1, b2=B2, eps=KERAS_ADAM_EPS, vma=FULL_AXES,
+            dense_grad=dense_u,
         )
         w_a, mu_a, nu_a, sumsq_a = sparse_adam_update(
             params.anime_emb, opt.mu.anime_emb, opt.nu.anime_emb,
             oid_a, og_a, t, lr, l2=self.l2,
             b1=B1, b2=B2, eps=KERAS_ADAM_EPS, vma=FULL_AXES,
+            dense_grad=dense_a,
         )
         # Per-shard sumsq -> full-table L2 value (dense-path loss parity).
         loss = loss + self.l2 * jax.lax.psum(sumsq_u + sumsq_a, self._baxes)
@@ -520,6 +575,44 @@ class ShardedTrainStep:
         )
         self._train_mapped = mapped  # unjitted, for nesting inside lax.scan
         return jax.jit(mapped, donate_argnums=0)
+
+    def plan_batch_spec(self) -> "rt._Plan":
+        """shard_map PartitionSpecs for ONE batch's exchange plan
+        (routing._Plan): per-element arrays (order/seg/is_start/uids) split
+        over the batch axes; per-owner tables (hoff/hcnt, [m] per device)
+        likewise — each device's stripe is ITS OWN bucket table; ``rounds``
+        replicated (it is pmax'd across the mesh)."""
+        b = P(self._baxes)
+        return rt._Plan(order=b, seg=b, is_start=b, uids=b,
+                        hoff=b, hcnt=b, rounds=P())
+
+    def _build_train_planned(self):
+        """shard_map'd train step taking PRECOMPUTED exchange plans —
+        (state, u, a, r, w, lr, plan_u, plan_a). Only the owner-side-update
+        optimizers route through plans; None otherwise."""
+        if self.routing != "alltoall" or self.optimizer not in (
+            "lazy_adam", "fused_adam"
+        ):
+            return None
+        specs = self._step_specs()
+        batch_spec = self._batch_spec()
+        pspec = self.plan_batch_spec()
+        step = {
+            "lazy_adam": self._lazy_step,
+            "fused_adam": self._fused_step,
+        }[self.optimizer]
+
+        def fn(state, users, anime, ratings, weights, lr, plan_u, plan_a):
+            return step(state, users, anime, ratings, weights, lr,
+                        plans=(plan_u, plan_a))
+
+        return jax.shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(specs, batch_spec, batch_spec, batch_spec, batch_spec,
+                      P(), pspec, pspec),
+            out_specs=(specs, P(), P()),
+        )
 
     def _build_grads(self):
         specs = self._step_specs()
@@ -575,7 +668,46 @@ class ShardedTrainStep:
         return jax.jit(mapped)
 
 
-def build_epoch_fn(step: ShardedTrainStep, shuffle: bool):
+def build_plans_fn(step: ShardedTrainStep):
+    """jitted (users [nb, B], anime [nb, B]) -> (plans_u, plans_a): the
+    exchange plan of EVERY staged batch, computed once per fit.
+
+    Plans are pure functions of (batch ids, shard count, capacity); the
+    staged epoch fixes batch composition at stage time (per-epoch shuffle
+    permutes batch ORDER only), so this one-time lax.map amortizes the
+    per-step batch argsort + segment machinery — measured as the dominant
+    non-bandwidth cost of the routed step (NOTES_PERF.md) — across all
+    epochs. Stacked plan pytrees have leading dim nb and ride the epoch
+    scan as xs.
+    """
+    m = step._n_shards
+
+    def fn(users, anime):  # device-local [nb, B_local]
+        cap_u = step._capacity(users.shape[1])
+        cap_a = step._capacity(anime.shape[1])
+        pu = jax.lax.map(
+            lambda ids: rt.make_plan(ids, m, cap_u, FULL_AXES), users
+        )
+        pa = jax.lax.map(
+            lambda ids: rt.make_plan(ids, m, cap_a, FULL_AXES), anime
+        )
+        return pu, pa
+
+    pspec = step.plan_batch_spec()
+    stacked = jax.tree.map(
+        lambda s: P(None, *tuple(s)), pspec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    in_spec = P(None, step._baxes)
+    mapped = jax.shard_map(
+        fn, mesh=step.mesh,
+        in_specs=(in_spec, in_spec),
+        out_specs=(stacked, stacked),
+    )
+    return jax.jit(mapped)
+
+
+def build_epoch_fn(step: ShardedTrainStep, shuffle: bool, planned: bool = False):
     """Device-resident SPMD epoch: lax.scan over the shard_map train step,
     then the holdout eval scanned on-mesh in the SAME program — the
     multi-chip analog of train/device_loop (one launch per epoch, no
@@ -587,25 +719,48 @@ def build_epoch_fn(step: ShardedTrainStep, shuffle: bool):
     host-shuffle; re-mixing examples across sharded batches each epoch
     would need cross-shard all-to-alls — a deliberate trade, see
     ShardedTrainer._stage_device).
+
+    ``planned=True`` (routed owner-side optimizers): the epoch also scans
+    the PRECOMPUTED per-batch exchange plans (build_plans_fn) — the signa-
+    ture gains (plans_u, plans_a) after the batch arrays, and the per-step
+    grouping argsorts disappear from the scan body entirely.
     """
     import functools
 
     mapped = step._train_mapped
+    planned_mapped = step._train_planned_mapped
     eval_mapped = step._eval_mapped
+    if planned and planned_mapped is None:
+        raise ValueError(
+            "planned epoch requires routing='alltoall' with a routed "
+            "owner-side optimizer (lazy_adam / fused_adam)"
+        )
+
+    def _scan_train(state, xs, lr):
+        if planned:
+            def body(state, batch):
+                u, a, r, w, pu, pa = batch
+                new_state, loss, mse = planned_mapped(state, u, a, r, w, lr,
+                                                      pu, pa)
+                return new_state, (loss, mse, jnp.sum(w))
+        else:
+            def body(state, batch):
+                u, a, r, w = batch
+                new_state, loss, mse = mapped(state, u, a, r, w, lr)
+                return new_state, (loss, mse, jnp.sum(w))
+        return jax.lax.scan(body, state, xs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def epoch(state, users, anime, ratings, weights, ev, key, lr):
+    def epoch(state, users, anime, ratings, weights, ev, key, lr,
+              plans_u=None, plans_a=None):
         xs = (users, anime, ratings, weights)
+        if planned:
+            xs = xs + (plans_u, plans_a)
         if shuffle:
             perm = jax.random.permutation(key, users.shape[0])
-            xs = tuple(x[perm] for x in xs)
+            xs = jax.tree.map(lambda x: x[perm], xs)
 
-        def body(state, batch):
-            u, a, r, w = batch
-            new_state, loss, mse = mapped(state, u, a, r, w, lr)
-            return new_state, (loss, mse, jnp.sum(w))
-
-        state, (losses, mses, wsums) = jax.lax.scan(body, state, xs)
+        state, (losses, mses, wsums) = _scan_train(state, xs, lr)
 
         def ebody(carry, batch):
             u, a, r, w = batch

@@ -39,6 +39,7 @@ from anime_recommendations_tpu.parallel.mesh import (
 from anime_recommendations_tpu.parallel.sharded_train import (
     ShardedTrainStep,
     build_epoch_fn,
+    build_plans_fn,
     place_state,
     unstripe_state,
 )
@@ -191,9 +192,10 @@ class ShardedTrainer(Trainer):
         cross-shard all-to-alls; with the seeded host shuffle each batch is
         already a uniform random sample.
         """
-        import jax as _jax
         import numpy as np
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from anime_recommendations_tpu.parallel.sharded_train import put_global
 
         sh = NamedSharding(self.mesh, P(None, self._step._baxes))
 
@@ -203,7 +205,7 @@ class ShardedTrainer(Trainer):
             pad = nb * bs - n
 
             def put(x, dtype):
-                return _jax.device_put(
+                return put_global(
                     np.pad(x[order], (0, pad)).astype(dtype).reshape(nb, bs), sh
                 )
 
@@ -211,7 +213,7 @@ class ShardedTrainer(Trainer):
                 put(ds.users, np.int32),
                 put(ds.anime, np.int32),
                 put(ds.ratings, np.float32),
-                _jax.device_put(
+                put_global(
                     np.pad(np.ones(n, np.float32), (0, pad)).reshape(nb, bs), sh
                 ),
             )
@@ -226,20 +228,32 @@ class ShardedTrainer(Trainer):
         ev_arrays = stage(
             holdout, self._eval_batch_size(len(holdout)), np.arange(len(holdout))
         )
-        epoch_fn = build_epoch_fn(self._step, self.shuffle_each_epoch)
-        return (train_arrays, ev_arrays, epoch_fn)
+        # Routed owner-side optimizers: precompute every batch's exchange
+        # plan ONCE per fit (sharded_train.build_plans_fn) — batch
+        # composition is frozen above, so the plans stay valid for every
+        # epoch and the per-step grouping argsorts leave the scan body.
+        planned = self._step._train_planned_mapped is not None
+        plans = (
+            build_plans_fn(self._step)(train_arrays[0], train_arrays[1])
+            if planned else None
+        )
+        epoch_fn = build_epoch_fn(self._step, self.shuffle_each_epoch, planned)
+        return (train_arrays, plans, ev_arrays, epoch_fn)
 
     def _device_epoch(self, staged, state, epoch: int, lr):
         import jax as _jax
         import jax.numpy as jnp
         import numpy as np
 
-        train_arrays, ev_arrays, epoch_fn = staged
+        train_arrays, plans, ev_arrays, epoch_fn = staged
         if self.scale_lr_by_data_shards:
             lr = lr * self._n_batch_shards
         key = _jax.random.fold_in(_jax.random.PRNGKey(self.seed), epoch)
+        extra = {} if plans is None else {
+            "plans_u": plans[0], "plans_a": plans[1]
+        }
         state, losses, mses, wsums, val_loss, val_mse = epoch_fn(
-            state, *train_arrays, ev_arrays, key, jnp.float32(lr)
+            state, *train_arrays, ev_arrays, key, jnp.float32(lr), **extra
         )
         bw = np.asarray(wsums, np.float64)
         loss_sum = float(np.asarray(losses) @ bw)

@@ -134,7 +134,12 @@ class ArtifactStore:
 
     def names(self) -> list[str]:
         """All artifact names in the store (original, un-sanitized), from
-        each artifact's latest version metadata."""
+        each artifact's latest version metadata.
+
+        A version directory left without .metadata.json by a crashed or
+        partial log must not break enumeration for every caller: walk back
+        to the newest version that HAS metadata, else fall back to the
+        sanitized directory name (mirroring exists()'s tolerance)."""
         out = []
         for art_dir in sorted(self.root.iterdir()):
             if not art_dir.is_dir() or art_dir.name.startswith("."):
@@ -142,10 +147,15 @@ class ArtifactStore:
             v = self._latest_version(art_dir)
             if v is None:
                 continue
-            meta = json.loads(
-                (art_dir / f"v{v}" / ".metadata.json").read_text()
-            )
-            out.append(meta["name"])
+            name = None
+            for ver in range(v, -1, -1):
+                meta_path = art_dir / f"v{ver}" / ".metadata.json"
+                try:
+                    name = json.loads(meta_path.read_text())["name"]
+                    break
+                except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                    continue
+            out.append(name if name is not None else art_dir.name)
         return out
 
     def exists(self, ref: str) -> bool:

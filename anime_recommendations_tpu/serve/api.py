@@ -58,7 +58,7 @@ class Engine:
 
         self.ctx = ctx
         self.cfg = config or Config()
-        self._similar_users = (
+        self._similar_users_cached = (
             functools.lru_cache(maxsize=cache_size)(self._similar_users_scan)
             if cache_size else self._similar_users_scan
         )
@@ -71,8 +71,18 @@ class Engine:
         )
         return frame
 
+    def _similar_users(self, user_id: int, k: int):
+        """Cache at a shared depth so /similar_users and /user_recs hit the
+        SAME entry for a user: both round k up to max(k, recs_n_sim_ID) and
+        slice — top-k is a prefix of top-K (deterministic tie-breaks), so
+        the slice is exact. Without this the two endpoints' differing k
+        defaults halved the cache's own hit rate."""
+        kc = max(k, self.cfg.users.recs_n_sim_ID)
+        frame = self._similar_users_cached(user_id, kc)
+        return frame.head(k) if k < kc else frame
+
     def cache_info(self):
-        info = getattr(self._similar_users, "cache_info", None)
+        info = getattr(self._similar_users_cached, "cache_info", None)
         return None if info is None else info()._asdict()
 
     def similar_anime(self, name: str, k: int = 10, types=None, genres=None):

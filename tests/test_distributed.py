@@ -81,3 +81,53 @@ def test_two_process_model_axis():
     losses = [o["loss"] for o in outs]
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
     assert 0.0 < losses[0] < 10.0
+
+
+def test_two_process_full_fit_matches_single_process(tmp_path):
+    """A FULL ShardedTrainer.fit under the 2-process runtime (VERDICT r3
+    ask 4): device epoch scan with precomputed exchange plans, on-mesh
+    holdout eval, owner-side fused Adam, best-checkpoint Orbax saves, and
+    a same-mesh RESUME — vs the reference's complete model.fit under
+    TPUStrategy (neural_network.py:174-217).
+
+    Assertions: (a) both processes report the identical loss curve (all
+    metrics are mesh-psum'd); (b) the curve matches a SINGLE-process run
+    of the same spec on the same mesh size (the process topology must be
+    math-invisible); (c) the fitted user table allgathers to the same
+    fingerprint everywhere; (d) a resume run restores the checkpoint and
+    continues rather than restarting."""
+    ck = str(tmp_path / "ck")
+    fit_args = ["--fit", "--epochs", "3", "--optimizer", "fused_adam",
+                "--data-axis", "2", "--model-axis", "2",
+                "--checkpoint-dir", ck]
+    outs = _launch(2, local_devices=2, extra=fit_args)
+    assert all(o["n_processes"] == 2 and o["devices"] == 4 for o in outs)
+    assert outs[0]["loss"] == outs[1]["loss"]
+    assert outs[0]["val_loss"] == outs[1]["val_loss"]
+    assert outs[0]["user_emb_absum"] == pytest.approx(
+        outs[1]["user_emb_absum"], rel=1e-6
+    )
+    assert len(outs[0]["loss"]) == 3
+    assert outs[0]["loss"][-1] < outs[0]["loss"][0]  # it actually trained
+
+    # Single-process run, same mesh size (1 proc x 4 devices): identical
+    # math — the loss curve must match the 2-process run closely.
+    solo = _launch(1, local_devices=4, extra=[
+        "--fit", "--epochs", "3", "--optimizer", "fused_adam",
+        "--data-axis", "2", "--model-axis", "2",
+    ])[0]
+    for a, b in zip(solo["loss"], outs[0]["loss"]):
+        assert a == pytest.approx(b, rel=2e-4)
+    for a, b in zip(solo["val_loss"], outs[0]["val_loss"]):
+        assert a == pytest.approx(b, rel=2e-4)
+
+    # Resume from the 2-process run's checkpoint on the same mesh: the
+    # restored state must let the fit CONTINUE (fewer fresh epochs, and
+    # the first resumed loss should start near where training left off,
+    # not back at the cold-start loss).
+    res = _launch(2, local_devices=2, extra=fit_args + [
+        "--resume", "--epochs", "4",
+    ])
+    assert res[0]["loss"] == res[1]["loss"]
+    assert len(res[0]["loss"]) < 4  # resumed past epoch 0
+    assert res[0]["loss"][0] < outs[0]["loss"][0]

@@ -281,7 +281,9 @@ def test_topk_threshold_skip_ascending_scores():
     W = (1 - t) * base + t * 40.0 * q[0]
     W /= np.linalg.norm(W, axis=1, keepdims=True)
 
-    vals, idx = masked_topk(jnp.asarray(W), jnp.asarray(q), k=7, block_rows=1024)
+    vals, idx = masked_topk(
+        jnp.asarray(W), jnp.asarray(q), k=7, block_rows=1024, exact_scan=True
+    )
     scores = W @ q.T
     vals, idx = np.asarray(vals), np.asarray(idx)
     for i in range(3):
@@ -291,6 +293,16 @@ def test_topk_threshold_skip_ascending_scores():
             vals[i], np.sort(scores[:, i])[::-1][:7], rtol=1e-6, atol=1e-7
         )
         np.testing.assert_allclose(scores[idx[i], i], vals[i], rtol=1e-6)
+    # The default two-stage path on the same adversarial data: exact within
+    # the documented stage-1 tie window (module docstring).
+    vals2, idx2 = masked_topk(jnp.asarray(W), jnp.asarray(q), k=7,
+                              block_rows=1024)
+    vals2, idx2 = np.asarray(vals2), np.asarray(idx2)
+    for i in range(3):
+        np.testing.assert_allclose(scores[idx2[i], i], vals2[i], rtol=1e-6)
+        np.testing.assert_allclose(
+            vals2[i], np.sort(scores[:, i])[::-1][:7], rtol=4e-3, atol=2e-4
+        )
 
 
 def _adversarial_tied_table():

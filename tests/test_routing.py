@@ -127,3 +127,41 @@ def test_pad_sentinel_is_oob_for_its_owner():
             g = routing.pad_sentinel(n, m, s)
             assert int(routing.owner_of(jnp.int32(g), m)) == s
             assert int(routing.local_of(jnp.int32(g), m)) >= n // m
+
+
+@pytest.mark.parametrize("staged_rounds", [1, 2, 64])
+def test_route_grad_rows_staged_plus_overflow(staged_rounds):
+    """route_grad_rows under forced deep overflow (capacity=2, one hot
+    owner): the staged receipts PLUS the dense overflow gradient must
+    together equal the dense scatter-add oracle, for any staged_rounds —
+    including 1 (everything past round 0 goes dense) and a huge value
+    (overflow branch statically absent, third output None)."""
+    mesh, m, table, phys = _setup(64, 4, (2, 4))
+    rng = np.random.default_rng(7)
+    b = 32
+    ids = ((np.arange(b, dtype=np.int32) * m) % 64)  # all owner 0 -> skew
+    g_rows = rng.normal(size=(b, 4)).astype(np.float32)
+    r_local = 64 // m
+    cap = 2
+
+    def f(ids_l, g_l):
+        oid, og, dense = routing.route_grad_rows(
+            ids_l, g_l, axis=AXES, n_shards=m, capacity=cap,
+            r_local=r_local, staged_rounds=staged_rounds,
+        )
+        acc = jnp.zeros((r_local, 4), jnp.float32).at[oid].add(og, mode="drop")
+        if dense is not None:
+            acc = acc + dense
+        return acc
+
+    mapped = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P(AXES), P(AXES)),
+        out_specs=P(AXES, None),
+    ))
+    got_phys = np.asarray(mapped(jnp.asarray(ids), jnp.asarray(g_rows)))
+    got = routing.from_physical(got_phys, m)
+
+    oracle = np.zeros_like(table)
+    for i, g in enumerate(ids):
+        oracle[g] += g_rows[i]
+    np.testing.assert_allclose(got, oracle, rtol=1e-5, atol=1e-6)

@@ -53,11 +53,14 @@ def test_engine_similar_users_cache(built):
     assert info["misses"] == 1 and info["hits"] == 0
     assert engine.similar_users(uid, k=3) == first
     assert engine.cache_info()["hits"] == 1
-    # user_recs' first stage reuses the cached scan for its own k.
+    # /similar_users and /user_recs share ONE cache entry per user: both
+    # cache the scan at max(k, recs_n_sim_ID) and slice, so user_recs HITS
+    # the entry the similar_users call above created (round-4 fix for the
+    # k-default mismatch that halved the hit rate).
     engine.user_recs(uid, k=5)
     engine.user_recs(uid, k=5)
     info = engine.cache_info()
-    assert info["misses"] == 2 and info["hits"] == 2  # second call fully cached
+    assert info["misses"] == 1 and info["hits"] == 3
     # cache_size=0 disables caching entirely.
     uncached = Engine(ctx, Config(), cache_size=0)
     uncached.similar_users(uid, k=3)
