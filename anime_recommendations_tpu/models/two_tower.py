@@ -126,6 +126,14 @@ def cosine_merge(u_rows: jax.Array, a_rows: jax.Array) -> jax.Array:
     return jnp.sum(_l2_normalize(u_rows) * _l2_normalize(a_rows), axis=-1)
 
 
+def dot_merge(u_rows: jax.Array, a_rows: jax.Array) -> jax.Array:
+    """Unnormalized rowwise dot — NOT the reference architecture (its head
+    is Dot(normalize=True)); a diagnostic variant for attributing the
+    convergence-floor gap to the cosine head's expressiveness limit
+    (train/convergence.py module docstring) vs optimization."""
+    return jnp.sum(u_rows * a_rows, axis=-1)
+
+
 def head(params: TwoTowerParams, cos: jax.Array, bn_state: BNState, train: bool,
          weights: jax.Array | None = None) -> tuple[jax.Array, BNState]:
     """Dense(1) -> BatchNorm -> sigmoid on the scalar cosine feature.
@@ -164,6 +172,7 @@ def forward(
     train: bool,
     weights: jax.Array | None = None,
     sorted_scatter: bool | str = False,
+    merge: str = "cosine",
 ) -> tuple[jax.Array, BNState]:
     """Full forward pass: gathers -> cosine -> head. Returns (pred[B], bn_state).
 
@@ -171,13 +180,17 @@ def forward(
     both tables; "user" = sorted VJP on the (large) user table only — the
     anime table's dense grad is small enough that the sort can cost more
     than the scatter saves.
+
+    ``merge``: "cosine" (reference parity) or "dot" (diagnostic raw-dot
+    head, dot_merge).
     """
     plain = lambda t, i: t[i]
     u_gather = take_rows if sorted_scatter else plain
     a_gather = take_rows if sorted_scatter is True else plain
     u_rows = u_gather(params.user_emb, users)
     a_rows = a_gather(params.anime_emb, anime)
-    cos = cosine_merge(u_rows, a_rows)
+    merge_fn = cosine_merge if merge == "cosine" else dot_merge
+    cos = merge_fn(u_rows, a_rows)
     return head(params, cos, bn_state, train=train, weights=weights)
 
 
@@ -203,6 +216,7 @@ def loss_and_metrics(
     l2_reg_factor: float,
     train: bool,
     sorted_scatter: bool = False,
+    merge: str = "cosine",
 ) -> tuple[jax.Array, tuple[jax.Array, BNState]]:
     """Weighted-mean BCE + full-table L2, plus the mse metric.
 
@@ -210,7 +224,8 @@ def loss_and_metrics(
     with has_aux=True.
     """
     pred, new_state = forward(params, bn_state, users, anime, train=train,
-                              weights=weights, sorted_scatter=sorted_scatter)
+                              weights=weights, sorted_scatter=sorted_scatter,
+                              merge=merge)
     denom = jnp.maximum(jnp.sum(weights), 1.0)
     data_loss = jnp.sum(bce(pred, ratings) * weights) / denom
     reg = l2_reg_factor * (

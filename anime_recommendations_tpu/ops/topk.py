@@ -323,7 +323,13 @@ def _packed_candidates(
     #     pin ``top_r`` explicitly; exact_scan remains the exact mode.
     if top_r is None:
         top_r = 3 if qp <= 64 else 2
-    top_r = max(top_r, -(-m // max(nb * n_groups, 1)) + 1)
+    # Depth is decoupled from POOL width: collision safety needs the
+    # per-group extraction to cover a ~max(4k, 64)-candidate budget even
+    # when the rescore pool is slim (few groups = deep extraction; the
+    # cost only matters on LARGE tables, where the group count already
+    # makes ceil(cover/groups)+1 collapse to the qp policy above).
+    cover = min(max(4 * tail_k, 64), n)
+    top_r = max(top_r, -(-cover // max(nb * n_groups, 1)) + 1)
     top_r = min(top_r, group)
     r_pad = _round_up(n_groups * top_r, 8)
 
@@ -563,11 +569,12 @@ def masked_topk(
         )
 
     # Float pool: stage-1 keys carry only DEFAULT-precision (bf16-product)
-    # noise ~3e-3 relative plus the ~1e-4 lane truncation, so ~2 slack rows
-    # per noise-width around the k-th score need covering — 2k+12 gives
-    # >20 rows of slack (HIGHEST-precision stage 1 measured +1.3 ms at
-    # q=256; a wider pool at +0.1 ms is the better trade).
-    m = min(max(2 * k + 12, 32), n)
+    # noise ~3e-3 relative plus the ~1e-4 lane truncation; at 350K random
+    # rows only ~2 competitor rows sit within one noise-width of the k-th
+    # score, so k+14 slack covers ~5 noise-widths (HIGHEST-precision
+    # stage 1 measured +1.3 ms at q=256; a slack pool at ~+0.05 ms is the
+    # better trade — mass-overlap on 20480 retrievals: 1 tie-window miss).
+    m = min(max(2 * k + 4, 24), n)
     cand, alive = _packed_candidates(
         table, queries_p, m=m, n=n, qn=qn, qp=qp, block_rows=block_rows,
         mask=mask, exclude_row=excl_row, head_arr=head_arr,

@@ -68,14 +68,53 @@ def host_batch_slice(global_batch: int) -> slice:
 
     Batches are sharded over the 'data' axis; with jax.Array + NamedSharding
     each host only needs to materialize the rows for its addressable
-    devices. Assumes the global batch divides evenly by process count.
+    devices. The global batch must divide evenly by process count — for a
+    ragged batch (e.g. the reference's 10,000 rows on a host count that
+    doesn't divide it) pad FIRST with pad_batch_for_hosts: zero-weight
+    rows are exactly inert in every loss/metric (weighted sums) and in the
+    row-sparse/fused updates (zero grads), so padding is the supported
+    ragged-tail story — the multi-host analog of the single-chip path's
+    weight-padded final batch (train/device_loop.stage).
     """
     n = jax.process_count()
     if global_batch % n:
-        raise ValueError(f"global batch {global_batch} not divisible by {n} hosts")
+        raise ValueError(
+            f"global batch {global_batch} not divisible by {n} hosts; "
+            "pad with pad_batch_for_hosts (zero-weight rows are inert)"
+        )
     per = global_batch // n
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)
+
+
+def pad_batch_for_hosts(
+    users, anime, ratings, weights=None, n_shards: int | None = None
+):
+    """Zero-weight-pad a global batch to a multiple of ``n_shards``
+    (default: the global device count — the unit every batch axis splits
+    over). Returns (users, anime, ratings, weights) with padded rows
+    carrying weight 0, user/anime id 0 and rating 0 — inert under the
+    weighted loss/metrics and under every optimizer path (dense Adam sees
+    a zero grad contribution for them; lazy/fused route a zero grad-sum).
+    """
+    import numpy as np
+
+    if n_shards is None:
+        n_shards = jax.device_count()
+    b = len(users)
+    target = -(-b // n_shards) * n_shards
+    pad = target - b
+    if weights is None:
+        weights = np.ones(b, np.float32)
+    if pad == 0:
+        return (np.asarray(users), np.asarray(anime),
+                np.asarray(ratings), np.asarray(weights))
+    return (
+        np.pad(np.asarray(users), (0, pad)),
+        np.pad(np.asarray(anime), (0, pad)),
+        np.pad(np.asarray(ratings, dtype=np.float32), (0, pad)),
+        np.pad(np.asarray(weights, dtype=np.float32), (0, pad)),
+    )
 
 
 # ---- multi-process worker ----------------------------------------------------------

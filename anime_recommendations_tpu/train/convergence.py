@@ -107,6 +107,12 @@ class ConvergenceSpec:
     k: int = 10                 # model_recs default top-10
     recall_K: int = 200         # candidate-list size for the recall claim
     mc_draws: int = 256         # noise-floor Monte Carlo draws per holdout pair
+    # "cosine" = reference-parity head. "dot" = the unnormalized-dot
+    # diagnostic (two_tower.dot_merge) for attributing the floor-ratio gap
+    # to the cosine head's expressiveness vs optimization; forces the
+    # per-step trainer path and skips the ranking-recovery metrics (whose
+    # scoring path is the production cosine head).
+    merge: str = "cosine"
 
 
 REFERENCE_SCALE = ConvergenceSpec(
@@ -306,7 +312,8 @@ def run_convergence(
         min_lr=spec.min_lr,
         seed=spec.train_seed,
         optimizer=spec.optimizer,
-        device_loop=spec.device_loop,
+        device_loop=spec.device_loop and spec.merge == "cosine",
+        merge=spec.merge,
         verbose=verbose,
         log_fn=log_fn,
     )
@@ -318,10 +325,14 @@ def run_convergence(
         holdout, vocab, U, V, lo, hi, spec.noise, n_draws=spec.mc_draws
     )
     best_val_mse = float(result.history["val_mse"].iloc[result.best_epoch])
-    rec = topk_recovery(
-        result.state.params, result.state.bn_state, vocab, encoded,
-        U, V, spec.n_probe_users, spec.k, spec.recall_K,
-    )
+    if spec.merge == "cosine":
+        rec = topk_recovery(
+            result.state.params, result.state.bn_state, vocab, encoded,
+            U, V, spec.n_probe_users, spec.k, spec.recall_K,
+        )
+    else:
+        nan = float("nan")
+        rec = RecoveryMetrics(nan, nan, nan, nan, nan)
     report = ConvergenceReport(
         spec=spec,
         history=result.history,
@@ -364,17 +375,29 @@ def main(argv: list[str] | None = None) -> None:
         "--optimizer", default="adam",
         choices=["adam", "fused_adam", "lazy_adam"],
     )
+    p.add_argument("--merge", default="cosine", choices=["cosine", "dot"])
+    p.add_argument("--epochs", type=int, default=None,
+                   help="diagnostic override of the parity epoch budget")
+    p.add_argument("--max-lr", type=float, default=None,
+                   help="diagnostic override of the parity peak LR")
+    p.add_argument("--tag", default=None,
+                   help="artifact tag override (for diagnostic variants)")
     args = p.parse_args(argv)
 
     spec = REFERENCE_SCALE if args.scale == "reference" else CI_SCALE
-    spec = ConvergenceSpec(**{**asdict(spec), "optimizer": args.optimizer})
+    over = {"optimizer": args.optimizer, "merge": args.merge}
+    if args.epochs is not None:
+        over["epochs"] = args.epochs
+    if args.max_lr is not None:
+        over["max_lr"] = args.max_lr
+    spec = ConvergenceSpec(**{**asdict(spec), **over})
     report = run_convergence(spec)
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    tag = args.scale if args.optimizer == "adam" else (
+    tag = args.tag or (args.scale if args.optimizer == "adam" else (
         f"{args.scale}_{args.optimizer}"
-    )
+    ))
     # Golden history header (",loss,mse,val_loss,val_mse,lr" — the
     # reference's anime_nn_history.csv format).
     report.history.to_csv(out / f"history_{tag}.csv")

@@ -71,7 +71,7 @@ def init_train_state(
     )
 
 
-@partial(jax.jit, donate_argnums=0, static_argnames=("l2_reg_factor",))
+@partial(jax.jit, donate_argnums=0, static_argnames=("l2_reg_factor", "merge"))
 def train_step(
     state: TrainState,
     users: jax.Array,
@@ -80,19 +80,20 @@ def train_step(
     weights: jax.Array,
     lr: jax.Array,
     l2_reg_factor: float,
+    merge: str = "cosine",
 ) -> tuple[TrainState, jax.Array, jax.Array]:
     """One SGD step. Returns (new_state, batch_loss, batch_mse)."""
     (loss, (mse, new_bn)), grads = jax.value_and_grad(
         loss_and_metrics, has_aux=True
     )(state.params, state.bn_state, users, anime, ratings, weights,
-      l2_reg_factor, True)
+      l2_reg_factor, True, False, merge)
     updates, new_opt = make_optimizer().update(grads, state.opt_state, state.params)
     updates = jax.tree.map(lambda u: -lr * u, updates)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(new_params, new_bn, new_opt), loss, mse
 
 
-@partial(jax.jit, static_argnames=("l2_reg_factor",))
+@partial(jax.jit, static_argnames=("l2_reg_factor", "merge"))
 def eval_step(
     params: TwoTowerParams,
     bn_state: BNState,
@@ -101,10 +102,12 @@ def eval_step(
     ratings: jax.Array,
     weights: jax.Array,
     l2_reg_factor: float,
+    merge: str = "cosine",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Weighted sums for exact epoch-level validation aggregates."""
     loss, (mse, _) = loss_and_metrics(
-        params, bn_state, users, anime, ratings, weights, l2_reg_factor, False
+        params, bn_state, users, anime, ratings, weights, l2_reg_factor, False,
+        False, merge,
     )
     w = jnp.sum(weights)
     return loss * w, mse * w, w
@@ -146,6 +149,10 @@ class Trainer:
     # (train/fused.py): same math as "adam" to ~2^-17 relative, at the
     # 6-HBM-pass bandwidth floor instead of 8+.
     optimizer: str = "adam"
+    # "cosine" = the reference's Dot(normalize=True) head (parity).
+    # "dot" = diagnostic unnormalized-dot head (two_tower.dot_merge) for
+    # attributing the convergence-floor gap; per-step path only.
+    merge: str = "cosine"
 
     def __post_init__(self):
         if self.optimizer not in ("adam", "lazy_adam", "fused_adam"):
@@ -153,6 +160,14 @@ class Trainer:
                 f"unknown optimizer {self.optimizer!r}: choose 'adam' "
                 "(exact Keras parity), 'fused_adam' (same semantics, one "
                 "Pallas pass per table), or 'lazy_adam' (row-sparse)"
+            )
+        if self.merge not in ("cosine", "dot"):
+            raise ValueError(f"unknown merge {self.merge!r}")
+        if self.merge != "cosine" and (self.device_loop or
+                                       self.optimizer != "adam"):
+            raise ValueError(
+                "merge='dot' is a per-step-path diagnostic: use "
+                "optimizer='adam' with device_loop=False"
             )
 
     # ---- overridable backend hooks (ShardedTrainer overrides these) -----------
@@ -177,13 +192,13 @@ class Trainer:
             )
         return train_step(
             state, batch.users, batch.anime, batch.ratings, batch.weights,
-            lr, self.l2_reg_factor,
+            lr, self.l2_reg_factor, self.merge,
         )
 
     def _eval_sums(self, params, bn_state, batch):
         return eval_step(
             params, bn_state, batch.users, batch.anime, batch.ratings,
-            batch.weights, self.l2_reg_factor,
+            batch.weights, self.l2_reg_factor, self.merge,
         )
 
     def lr(self, epoch: int) -> float:

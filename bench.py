@@ -189,10 +189,89 @@ def main() -> None:
     )
     del sh, sbatches
 
+    # The PRODUCTION routed program: scanned epoch with PRECOMPUTED
+    # exchange plans (sharded_train.build_plans_fn — the per-step grouping
+    # argsorts leave the scan body; plans are computed once per fit and
+    # reused every epoch). Delta vs train350k_fused_adam_step_ms is the
+    # residual routing cost at m=1.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from anime_recommendations_tpu.parallel.sharded_train import (
+        build_epoch_fn, build_plans_fn,
+    )
+
+    nb_r = 50
+    sh_b = NamedSharding(mesh1, P(None, ("data", "model")))
+    routed_rows = nb_r * batch
+    ru = jax.device_put(jnp.asarray(
+        rng.integers(0, n_users_full, routed_rows), jnp.int32
+    ).reshape(nb_r, batch), sh_b)
+    ra = jax.device_put(jnp.asarray(
+        rng.integers(0, n_anime, routed_rows), jnp.int32
+    ).reshape(nb_r, batch), sh_b)
+    rr = jax.device_put(jnp.asarray(
+        rng.uniform(0, 1, routed_rows), jnp.float32
+    ).reshape(nb_r, batch), sh_b)
+    rw = jax.device_put(jnp.ones((nb_r, batch), jnp.float32), sh_b)
+    rev = (ru[:2], ra[:2], rr[:2], rw[:2])
+    plans_u, plans_a = build_plans_fn(sstep)(ru, ra)
+    repoch = build_epoch_fn(sstep, shuffle=True, planned=True)
+    rstate = place_state(
+        init_train_state(jax.random.PRNGKey(4), n_users_full, n_anime, d),
+        mesh1, routing="alltoall",
+    )
+    kk = jax.random.PRNGKey(0)
+    rstate, rl, _, _, rvl, _ = repoch(
+        rstate, ru, ra, rr, rw, rev, kk, lr, plans_u=plans_u, plans_a=plans_a
+    )
+    float(rl[-1])
+    seg = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        rstate, rl, _, _, rvl, _ = repoch(
+            rstate, ru, ra, rr, rw, rev, jax.random.fold_in(kk, rep), lr,
+            plans_u=plans_u, plans_a=plans_a,
+        )
+        float(rl[-1])
+        seg.append(time.perf_counter() - t0)
+    # Subtract the 2-batch on-mesh eval's share by scaling: the epoch runs
+    # nb_r train steps + 2 eval steps; report per-train-step cost
+    # conservatively (no eval subtraction — eval is part of the epoch).
+    details["train350k_sharded_fused_epoch_step_ms"] = round(
+        min(seg) / nb_r * 1e3, 3
+    )
+    details["train350k_sharded_fused_epoch_examples_per_sec"] = round(
+        routed_rows / min(seg)
+    )
+    del rstate, ru, ra, rr, rw, plans_u, plans_a
+
     # ---- retrieval top-k QPS (full-dataset scale) ----------------------------
-    # Dispatch many DISTINCT async calls and sync once: the device executes
-    # them in order, so (total - one round-trip) / n isolates device time
-    # from host/tunnel latency.
+    # Two measurement harnesses, both reported where they matter:
+    #  * CHAINED: dispatch many DISTINCT async calls, sync once; (total -
+    #    one RTT)/n. Includes per-call host dispatch (~0.1-0.2 ms under
+    #    load), so for tiny scans it measures DISPATCH throughput, not the
+    #    kernel — the round-3 "anime f32 regression" was exactly this
+    #    artifact (NOTES_PERF.md round 4).
+    #  * SCAN: lax.scan of 48 distinct query batches inside ONE program
+    #    with a carried accumulator; per-call device time = (total -
+    #    trivial-scan baseline)/48. The baseline (~0.5 ms/iter of scan
+    #    machinery on this backend) is measured in-run and reported.
+    def scan_device_ms(fn, table, qstack) -> float:
+        @jax.jit
+        def run(table, qstack):
+            def body(acc, q):
+                tv, ti = fn(table, q)
+                return acc + jnp.sum(tv) + jnp.sum(ti.astype(jnp.float32)), None
+            return jax.lax.scan(body, jnp.float32(0), qstack)[0]
+
+        float(run(table, qstack))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(table, qstack))
+            best = min(best, time.perf_counter() - t0)
+        return best / qstack.shape[0] * 1e3
+
     def topk_qps(n_rows: int, q_batch: int, dtype) -> tuple[float, float, float]:
         W = rng.standard_normal((n_rows, d), dtype=np.float32)
         W /= np.linalg.norm(W, axis=1, keepdims=True)
@@ -237,65 +316,106 @@ def main() -> None:
                 if raw_ms < ms:
                     details[f"topk_{name}_{tag}_q{q_batch}_clamped"] = True
 
-    # Batched-throughput variant: ONE kernel call over 256 queries — a
-    # single dispatch, so tunnel/host latency cannot pollute the number.
+    # Scan-harness device times for the contested cases: the trivial-scan
+    # baseline is real scan overhead on this backend, measured and
+    # subtracted; `_ms_dev` is the per-call DEVICE time (floor-clamped like
+    # the chained keys; `_ms_dev_raw` is unclamped).
     W = rng.standard_normal((350_000, d), dtype=np.float32)
     W /= np.linalg.norm(W, axis=1, keepdims=True)
-    for tag, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        Wd = jax.device_put(jnp.asarray(W, dtype=dtype))
-        q1 = jax.device_put(jnp.asarray(W[:256], dtype=dtype))
-        q2 = jax.device_put(jnp.asarray(W[256:512], dtype=dtype))
-        jax.block_until_ready((q1, q2))
-        np.asarray(cosine_topk(Wd, q1, k=10)[0])
-        np.asarray(cosine_topk(Wd, q2, k=10)[0])
-        samples = []
-        fallback = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(cosine_topk(Wd, q1, k=10)[0])
-            rtt0 = time.perf_counter() - t0
-            # Two sequential dispatches minus one isolate the marginal call.
-            t0 = time.perf_counter()
-            a = cosine_topk(Wd, q1, k=10)
-            b = cosine_topk(Wd, q2, k=10)
-            np.asarray(b[0])
-            two = time.perf_counter() - t0
-            fallback = min(fallback, two / 2)
-            if two > rtt0:  # RTT jitter can exceed the marginal call
-                samples.append(two - rtt0)
-        per = min(samples) if samples else fallback
-        details[f"topk_user_{tag}_q256_qps"] = round(256 / per)
-        details[f"topk_user_{tag}_q256_ms"] = round(per * 1e3, 3)
+    ITERS = 48
+
+    def qstack_for(Wn, q_batch, dtype):
+        return jax.device_put(jnp.asarray(np.stack([
+            Wn[(i * 97) % (len(Wn) - q_batch):][:q_batch]
+            for i in range(ITERS)
+        ]), dtype=dtype))
+
+    qs8 = qstack_for(W, 8, jnp.float32)
+
+    @jax.jit
+    def _trivial(table, qstack):
+        def body(acc, q):
+            return acc + jnp.sum(q) * 1.0001, None
+        return jax.lax.scan(body, jnp.float32(0), qstack)[0]
+
+    Wd32 = jax.device_put(jnp.asarray(W))
+    float(_trivial(Wd32, qs8))
+    scan_base = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(_trivial(Wd32, qs8))
+        scan_base = min(scan_base, (time.perf_counter() - t0) / ITERS * 1e3)
+    details["scan_harness_base_ms"] = round(scan_base, 3)
+
+    def dev_keys(key, fn, table, qstack, n_rows, itemsize):
+        total = scan_device_ms(fn, table, qstack)
+        net = total - scan_base
+        floor = n_rows * d * itemsize / 819e9 * 1e3
+        details[f"{key}_ms_dev_raw"] = round(net, 3)
+        details[f"{key}_ms_dev"] = round(max(net, floor), 3)
+        return max(net, floor)
+
+    topk10 = lambda t, q: cosine_topk(t, q, k=10)
+    dev_keys("topk_user_f32_q8", topk10, Wd32, qs8, 350_000, 4)
+    Wa = W[:17_560]
+    Wad = jax.device_put(jnp.asarray(Wa))
+    dev_keys("topk_anime_f32_q8", topk10, Wad, qstack_for(Wa, 8, jnp.float32),
+             17_560, 4)
+
+    # Batched-query (q=256) throughput: scan-harness ONLY. (The round-3
+    # two-dispatch marginal method double-counted relay result caching —
+    # repeated identical calls may be deduped — and is retired.)
+    qs256 = qstack_for(W, 256, jnp.float32)
+    per = dev_keys("topk_user_f32_q256", topk10, Wd32, qs256, 350_000, 4)
+    details["topk_user_f32_q256_qps"] = round(256 / (per / 1e3))
+    Wb16 = jax.device_put(jnp.asarray(W, jnp.bfloat16))
+    per = dev_keys("topk_user_bf16_q256", topk10, Wb16,
+                   qstack_for(W, 256, jnp.bfloat16), 350_000, 2)
+    details["topk_user_bf16_q256_qps"] = round(256 / (per / 1e3))
+
+    # q=256 exactness on the random table (the batched path runs the
+    # documented top_r=2 extraction depth — see ops/topk.py policy note).
+    ti = np.asarray(cosine_topk(Wd32, jnp.asarray(W[:256]), k=10)[1])
+    sc = W[:256] @ W.T
+    oracle = np.argsort(-sc, axis=1)[:, :10]
+    details["topk_q256_overlap_vs_oracle"] = round(float(np.mean(
+        [len(set(ti[i]) & set(oracle[i])) / 10 for i in range(256)]
+    )), 5)
 
     # int8 two-stage retrieval (quantized scan + exact f32 rescore).
     from anime_recommendations_tpu.ops.quantized import quantize_rows, quantized_topk
 
     qt = jax.device_put(quantize_rows(jnp.asarray(W)))
-    for q_batch in (8, 256):
-        qs = [
-            jax.device_put(
-                jnp.asarray(W[(i * q_batch) % (350_000 - q_batch):][:q_batch])
-            )
-            for i in range(24)
-        ]
-        jax.block_until_ready(qs)
+    q_batch = 8
+    qs = [
+        jax.device_put(
+            jnp.asarray(W[(i * q_batch) % (350_000 - q_batch):][:q_batch])
+        )
+        for i in range(24)
+    ]
+    jax.block_until_ready(qs)
+    np.asarray(quantized_topk(qt, qs[0], k=10)[0])
+    per = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
         np.asarray(quantized_topk(qt, qs[0], k=10)[0])
-        per = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(quantized_topk(qt, qs[0], k=10)[0])
-            rtt = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            outs = [quantized_topk(qt, q, k=10) for q in qs]
-            np.asarray(outs[-1][0])
-            per = min(per, (time.perf_counter() - t0 - rtt) / 24)
-        raw_per = per
-        per = max(per, 350_000 * d / 819e9)
-        details[f"topk_user_int8_q{q_batch}_qps"] = round(q_batch / per)
-        details[f"topk_user_int8_q{q_batch}_ms"] = round(per * 1e3, 3)
-        details[f"topk_user_int8_q{q_batch}_ms_raw"] = round(raw_per * 1e3, 3)
-        if raw_per < per:
-            details[f"topk_user_int8_q{q_batch}_clamped"] = True
+        rtt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        outs = [quantized_topk(qt, q, k=10) for q in qs]
+        np.asarray(outs[-1][0])
+        per = min(per, (time.perf_counter() - t0 - rtt) / 24)
+    raw_per = per
+    per = max(per, 350_000 * d / 819e9)
+    details["topk_user_int8_q8_qps"] = round(q_batch / per)
+    details["topk_user_int8_q8_ms"] = round(per * 1e3, 3)
+    details["topk_user_int8_q8_ms_raw"] = round(raw_per * 1e3, 3)
+    if raw_per < per:
+        details["topk_user_int8_q8_clamped"] = True
+    # int8 device times, both query widths, scan harness.
+    topk10q = lambda t, q: quantized_topk(t, q, k=10)
+    dev_keys("topk_user_int8_q8", topk10q, qt, qs8, 350_000, 1)
+    per = dev_keys("topk_user_int8_q256", topk10q, qt, qs256, 350_000, 1)
+    details["topk_user_int8_q256_qps"] = round(256 / (per / 1e3))
     vq, iq = quantized_topk(qt, jax.device_put(jnp.asarray(W[:16])), k=10)
     iq = np.asarray(iq)
     sc = W[:16] @ W.T
@@ -315,6 +435,98 @@ def main() -> None:
         len(set(idx[i]) & set(oracle[i])) / 10 for i in range(16)
     ])
     details["topk_overlap_vs_oracle"] = round(float(overlap), 4)
+
+    # ---- two-stage exactness on TRAINED tables -------------------------------
+    # The packed stage-1's tie window matters where embeddings CLUSTER, not
+    # on random vectors (VERDICT r3 ask 6). Train the two-tower briefly on
+    # latent-teacher ratings with zipf-skewed ids (popular rows get LOW
+    # indices — the first-appearance-vocab geometry that puts similar hot
+    # rows in the SAME extraction group), then compare the default
+    # two-stage path against the worst-case-exact scan on the trained,
+    # normalized user table at q=256.
+    from anime_recommendations_tpu.models.two_tower import normalized_tables
+    from anime_recommendations_tpu.ops.topk import masked_topk
+
+    nu_t, na_t, lat = 91_641, 17_560, 16
+    trng = np.random.default_rng(5)
+    Ulat = trng.normal(size=(nu_t, lat)).astype(np.float32) / np.sqrt(lat)
+    Vlat = trng.normal(size=(na_t, lat)).astype(np.float32) / np.sqrt(lat)
+    t_rows = 2_000_000
+    zu = np.minimum((trng.pareto(1.1, t_rows) * 40).astype(np.int64), nu_t - 1)
+    za = np.minimum((trng.pareto(1.05, t_rows) * 15).astype(np.int64), na_t - 1)
+    aff = np.einsum("ij,ij->i", Ulat[zu], Vlat[za])
+    y = 1.0 / (1.0 + np.exp(-(3.0 * aff + trng.normal(0, 0.35, t_rows))))
+    ds_t = RatingsDataset(
+        users=zu.astype(np.int32), anime=za.astype(np.int32),
+        ratings=y.astype(np.float32),
+    )
+    st_t = init_train_state(jax.random.PRNGKey(6), nu_t, na_t, d)
+    data_t = dl.stage(ds_t, batch, seed=1)
+    for ep in range(6):
+        st_t, tl, _, _ = dl.train_epoch(
+            st_t, data_t, jax.random.fold_in(key, 100 + ep), jnp.float32(3e-4),
+            batch, l2, sorted_scatter=True, optimizer="fused_adam",
+        )
+    float(tl[-1])
+    _, user_n = normalized_tables(st_t.params)
+    user_n = jax.device_put(user_n)
+    hot_q = jnp.asarray(user_n[:256])      # hottest (lowest-id) users
+    tv2, ti2 = masked_topk(user_n, hot_q, 10)            # default two-stage
+    tvx, tix = masked_topk(user_n, hot_q, 10, exact_scan=True)
+    ti2, tix = np.asarray(ti2), np.asarray(tix)
+    details["topk_trained_twostage_vs_exact_overlap"] = round(float(np.mean(
+        [len(set(ti2[i]) & set(tix[i])) / 10 for i in range(256)]
+    )), 5)
+    del st_t, data_t, ds_t, user_n
+
+    # ---- serve-path latency (Engine-level queries) ---------------------------
+    # The API layer the reference planned but never built (config.yaml:14);
+    # end-to-end host latency: retrieval dispatch + pandas enrichment +
+    # JSON shaping. Cold = first query (cache miss), warm = repeat.
+    from anime_recommendations_tpu.config import Config
+    from anime_recommendations_tpu.data import synthetic as synth
+    from anime_recommendations_tpu.data.catalog import Catalog
+    from anime_recommendations_tpu.data.preprocess import preprocess_ratings
+    from anime_recommendations_tpu.data.vocab import build_vocab, encode_frame
+    from anime_recommendations_tpu.models import two_tower as tt
+    from anime_recommendations_tpu.recommend import RecContext
+    from anime_recommendations_tpu.serve.api import Engine
+
+    frames = synth.synth_ratings(
+        n_users=2_000, n_anime=500, n_interactions=200_000, seed=7
+    )
+    cat = synth.synth_anime_catalog(n_anime=500, seed=7)
+    syn = synth.synth_synopses(cat, seed=7)
+    clean, _ = preprocess_ratings(frames, num_reviews=40)
+    vocab = build_vocab(clean)
+    encoded = encode_frame(clean, vocab)
+    catalog = Catalog.from_frames(cat, syn)
+    params_s = tt.init_params(
+        jax.random.PRNGKey(9), vocab.n_users, vocab.n_anime, 64
+    )
+    ctx = RecContext.build(params_s, tt.init_bn_state(), vocab, catalog, encoded)
+    engine = Engine(ctx, Config())
+    uid = int(vocab.user_ids[3])
+    aname = catalog.anime["Name"].iloc[5]
+    for fn_name, call in (
+        ("similar_anime", lambda: engine.similar_anime(aname, k=10)),
+        ("user_recs", lambda: engine.user_recs(uid, k=10)),
+    ):
+        t0 = time.perf_counter()
+        call()
+        details[f"serve_{fn_name}_cold_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 2
+        )
+        best = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            call()
+            best = min(best, time.perf_counter() - t0)
+        details[f"serve_{fn_name}_warm_ms"] = round(best * 1e3, 2)
+    info = engine.cache_info()
+    if info:
+        details["serve_cache_hits"] = info["hits"]
+        details["serve_cache_misses"] = info["misses"]
 
     baseline_examples_per_sec = 140_000_000 / 900.0  # reference TPU v2-8 run
     print(

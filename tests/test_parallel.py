@@ -367,3 +367,53 @@ def test_training_converges_on_mesh(routing):
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.99
+
+
+def test_zero_weight_padded_batch_is_inert(single_state, batch):
+    """pad_batch_for_hosts semantics: a global batch zero-weight-padded to
+    a shard multiple must produce the SAME loss and the same updated state
+    as the unpadded batch — the ragged-tail story for multi-host feeding
+    (distributed.host_batch_slice docstring)."""
+    from anime_recommendations_tpu.parallel.distributed import (
+        pad_batch_for_hosts,
+    )
+
+    users, anime, ratings, weights = batch
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    step = ShardedTrainStep(
+        mesh, l2_reg_factor=L2, routing="alltoall", optimizer="fused_adam"
+    )
+    lr = jnp.float32(0.01)
+
+    # Ragged: drop the last 3 rows, then pad back to a multiple of 4.
+    b = users.shape[0] - 3
+    pu, pa, pr, pw = pad_batch_for_hosts(
+        np.asarray(users)[:b], np.asarray(anime)[:b],
+        np.asarray(ratings)[:b], n_shards=4,
+    )
+    assert len(pu) % 4 == 0 and (pw[b:] == 0).all()
+
+    st1 = place_state(clone_state(single_state), mesh, routing="alltoall")
+    st1, l1, m1 = step.train_step(
+        st1, jnp.asarray(pu), jnp.asarray(pa), jnp.asarray(pr),
+        jnp.asarray(pw), lr,
+    )
+    # Oracle: the same ragged batch padded with a DIFFERENT inert filler
+    # (repeat row 0 at weight 0) — results must agree exactly.
+    qu, qa, qr, qw = pu.copy(), pa.copy(), pr.copy(), pw.copy()
+    qu[b:], qa[b:], qr[b:] = users[0], anime[0], ratings[0]
+    st2 = place_state(clone_state(single_state), mesh, routing="alltoall")
+    st2, l2_, m2 = step.train_step(
+        st2, jnp.asarray(qu), jnp.asarray(qa), jnp.asarray(qr),
+        jnp.asarray(qw), lr,
+    )
+    np.testing.assert_allclose(float(l1), float(l2_), rtol=1e-6)
+    np.testing.assert_allclose(float(m1), float(m2), rtol=1e-6)
+    h1 = unstripe_state(st1, mesh, "alltoall")
+    h2 = unstripe_state(st2, mesh, "alltoall")
+    np.testing.assert_allclose(
+        h1.params.user_emb, h2.params.user_emb, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        h1.opt_state.nu.anime_emb, h2.opt_state.nu.anime_emb, atol=1e-7
+    )
