@@ -240,9 +240,13 @@ def normalized_tables(params: TwoTowerParams) -> tuple[jax.Array, jax.Array]:
 
     Parity with extract_weights / get_weights (neural_network.py:128-138,
     similar_anime.py:136-171): rows divided by their L2 norm so a dot
-    product is cosine similarity.
+    product is cosine similarity — but with the model's own TF epsilon
+    clamp (_l2_normalize). The reference's raw numpy division is a latent
+    bug this engine must not inherit: the full-table L2 decay drives
+    never-touched rows toward zero, and once a row's norm-squared
+    underflows f32 (TPU flushes denormals), raw division mints inf/NaN
+    rows that then WIN every retrieval scan (measured: one NaN row capped
+    trained-table top-10 overlap at exactly 0.9 before this clamp). Under
+    the clamp a ~zero row normalizes to ~zero — cosine ~0, never top-k.
     """
-    def norm(w):
-        return w / jnp.linalg.norm(w, axis=1, keepdims=True)
-
-    return norm(params.anime_emb), norm(params.user_emb)
+    return _l2_normalize(params.anime_emb), _l2_normalize(params.user_emb)

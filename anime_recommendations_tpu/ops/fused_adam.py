@@ -323,6 +323,7 @@ def sparse_adam_update(
     interpret: bool | None = None,
     vma: tuple | frozenset | None = None,
     dense_grad: jax.Array | None = None,   # [N, D] pre-accumulated grads
+    order: jax.Array | None = None,        # [B] precomputed grouping sort
 ) -> tuple[jax.Array, ...]:
     """One fused sparse-Adam step. Returns (w', mu', nu', sumsq(w_before)).
 
@@ -387,7 +388,11 @@ def sparse_adam_update(
     # Sort the batch by row id so each block owns a contiguous segment.
     # Grouping only — scatter-add is order-agnostic within equal ids, so
     # the cheaper unstable sort is exact (measured 0.79 vs 0.93 ms at 10k).
-    order = jnp.argsort(ids, stable=False)
+    # A caller whose ids are a pure function of staged data (the routed
+    # epoch's receipts — routing.receipt_sort_order) passes ``order``
+    # precomputed and skips the in-step argsort entirely.
+    if order is None:
+        order = jnp.argsort(ids, stable=False)
     ids_s = ids[order].astype(jnp.int32)
     g_s = g_rows[order]
     b_pad = _round_up(b, chunk) + chunk

@@ -53,7 +53,7 @@ def score_all_items(
 
 
 def score_topk(
-    anime_table_normalized: jax.Array,   # [N, D] L2-normalized anime rows
+    anime_table_normalized,              # [N, D] rows / Quantized / Shuffled
     user_rows_normalized: jax.Array,     # [Qn, D] L2-normalized user rows
     head: jax.Array,                     # [2] (alpha, beta) from head_affine
     k: int,
@@ -64,7 +64,19 @@ def score_topk(
     if user_rows_normalized.ndim == 1:
         user_rows_normalized = user_rows_normalized[None, :]
     from anime_recommendations_tpu.ops.quantized import QuantizedTable, quantized_topk
+    from anime_recommendations_tpu.ops.topk import (
+        ShuffledTable,
+        _shuffled_dispatch,
+    )
 
+    if isinstance(anime_table_normalized, ShuffledTable):
+        return _shuffled_dispatch(
+            lambda t, q, kk, mask, exclude, **kw: score_topk(
+                t, q, head, kk, mask=mask, exclude=exclude, **kw
+            ),
+            anime_table_normalized, user_rows_normalized, k, mask,
+            kwargs.pop("exclude", None), kwargs,
+        )
     if isinstance(anime_table_normalized, QuantizedTable):
         return quantized_topk(
             anime_table_normalized, user_rows_normalized, k,

@@ -26,8 +26,9 @@ Exchange protocol (static shapes, EXACT for arbitrary id multisets):
   3. rounds = pmax(ceil(max bucket / capacity)) — a lax.while_loop with a
      globally-uniform trip count, so overflowing buckets never drop rows;
      with striped rows + deduped requests one round is the steady state.
-  4. responses land in a per-unique-id buffer; duplicates are filled by a
-     segment gather and the sort is inverted.
+  4. responses land in a per-unique-id buffer; ONE composed gather keyed
+     by the plan's original-position head ranks (seg_orig) fills
+     duplicates and restores batch order in the same pass.
 
 The backward pass (custom VJP) reverses the routing: per-unique-id grad
 row sums (segment-sum over duplicates) travel back to the owning shard,
@@ -109,9 +110,7 @@ def default_capacity(batch_per_device: int, n_shards: int) -> int:
 
 
 class _Plan(NamedTuple):
-    order: jax.Array      # [B] argsort by (owner, id)
-    seg: jax.Array        # [B] unique-run index per sorted element
-    is_start: jax.Array   # [B] head-of-run mask
+    seg_orig: jax.Array   # [B] head rank of each ORIGINAL batch position
     uids: jax.Array       # [B] unique id per head rank (padded tail arbitrary)
     hoff: jax.Array       # [m] first head rank per owner
     hcnt: jax.Array       # [m] unique ids per owner
@@ -141,6 +140,10 @@ def _make_plan(ids: jax.Array, n_shards: int, capacity: int, axis) -> _Plan:
         [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]]
     )
     seg = jnp.cumsum(is_start) - 1                      # [B] head rank per elem
+    # seg_orig[i] = head rank of ORIGINAL position i — the one index map
+    # the exchange needs at runtime (response fill AND grad-sum scatter are
+    # both keyed by it), so the plan carries no sorted-domain arrays.
+    seg_orig = jnp.zeros((b,), jnp.int32).at[order].set(seg.astype(jnp.int32))
     # uids[h] = id of the h-th head (duplicate writers store the same value).
     uids = jnp.zeros((b,), ids.dtype).at[seg].set(ids_s)
     hcnt = jnp.bincount(
@@ -151,7 +154,16 @@ def _make_plan(ids: jax.Array, n_shards: int, capacity: int, axis) -> _Plan:
     )
     need = -(-jnp.max(hcnt) // jnp.int32(capacity))     # ceil div
     rounds = jax.lax.pmax(need, axis)
-    return _Plan(order, seg, is_start, uids, hoff, hcnt, rounds)
+    return _Plan(seg_orig, uids, hoff, hcnt, rounds)
+
+
+def _unique_grad_sums(g_rows: jax.Array, plan: _Plan, b: int) -> jax.Array:
+    """[B, D] per-unique-id grad sums indexed by head rank: duplicates of
+    an id accumulate onto its head rank via one scatter-add over
+    seg_orig (order-free; no sorted-domain gather)."""
+    return jnp.zeros((b, g_rows.shape[1]), g_rows.dtype).at[
+        plan.seg_orig
+    ].add(g_rows)
 
 
 def _send_slot_ids(plan: _Plan, r: jax.Array, capacity: int, m: int) -> tuple:
@@ -268,11 +280,10 @@ def _planned_gather(table_local, ids, plan, axis, m, cap, r_local):
         body,
         (jnp.int32(0), _pvary(jnp.zeros((b, d), table_local.dtype), axis)),
     )
-    out_sorted = uresp[plan.seg]                                 # fill dups
-    inv = jnp.zeros((b,), jnp.int32).at[plan.order].set(
-        jnp.arange(b, dtype=jnp.int32)
-    )
-    return out_sorted[inv]
+    # ONE composed gather fills duplicates AND restores batch order
+    # (seg_orig = seg∘inv precomputed in the plan — a second [B, D] row
+    # gather here measured ~0.2 ms/step at B=10k).
+    return uresp[plan.seg_orig]
 
 
 @functools.cache
@@ -294,9 +305,10 @@ def _exchange_fn(axis, n_shards: int, capacity: int, r_local: int, dtype: str):
         plan = _make_plan(ids, m, cap, axis)
         b = ids.shape[0]
         d = g.shape[1]
-        g_s = g[plan.order]
-        # Per-unique-id grad sum (duplicates accumulate onto the head rank).
-        ugrad = jax.ops.segment_sum(g_s, plan.seg, num_segments=b)
+        # Per-unique-id grad sum (duplicates accumulate onto the head
+        # rank): one scatter-add keyed by seg_orig — no sorted-order
+        # gather of g needed.
+        ugrad = _unique_grad_sums(g, plan, b)
 
         def body(carry):
             r, d_table = carry
@@ -402,8 +414,7 @@ def route_grads_lazy_adam(
         plan = _make_plan(ids, m, cap, axis)
     b = ids.shape[0]
     r_local = w.shape[0]
-    g_s = g_rows[plan.order]
-    ugrad = jax.ops.segment_sum(g_s, plan.seg, num_segments=b)
+    ugrad = _unique_grad_sums(g_rows, plan, b)
 
     def body(carry):
         r, w, mu, nu = carry
@@ -432,6 +443,69 @@ def route_grads_lazy_adam(
         (jnp.int32(0), w, mu, nu),
     )
     return w, mu, nu
+
+
+def receipt_slots(b: int, n_shards: int, capacity: int,
+                  max_rounds: int | None = None,
+                  staged_rounds: int = 4) -> int:
+    """Staged receipt-buffer size T of route_grad_rows for a [b] batch —
+    shared by the order precompute below and any consumer sizing VMEM."""
+    if max_rounds is None:
+        max_rounds = -(-b // capacity)
+    return min(max_rounds, staged_rounds) * n_shards * capacity
+
+
+def receipt_sort_order(
+    ids: jax.Array,
+    *,
+    axis,
+    n_shards: int,
+    capacity: int,
+    r_local: int,
+    max_rounds: int | None = None,
+    staged_rounds: int = 4,
+    plan: _Plan | None = None,
+) -> jax.Array:
+    """The grouping-sort permutation of route_grad_rows' OWNER-SIDE receipt
+    ids, [T] int32 — a pure function of every device's exchange plan, so
+    the staged epoch precomputes it once per fit and the fused Adam kernel
+    skips its per-step receipt argsort (~0.8 ms per table per step at
+    B=10k; NOTES_PERF.md "batch argsort" section).
+
+    Runs the ID-ONLY half of the exchange (same send/recv schedule as
+    route_grad_rows; drop markers land at r_local) and argsorts the staged
+    receipt ids. MUST be called with the same capacity/max_rounds/
+    staged_rounds the step will use.
+    """
+    m, cap = n_shards, capacity
+    b = ids.shape[0]
+    if max_rounds is None:
+        max_rounds = -(-b // cap)
+    staged = min(max_rounds, staged_rounds)
+    if plan is None:
+        plan = _make_plan(ids, m, cap, axis)
+    t_slots = staged * m * cap
+
+    def body(carry):
+        r, oid = carry
+        send_ids, _ = _send_slot_ids(plan, r, cap, m)
+        recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0)
+        lid = local_of(jnp.maximum(recv_ids, 0), m)
+        ok = (recv_ids >= 0) & (lid < r_local)
+        base = jnp.where(r < staged, r, staged) * jnp.int32(m * cap)
+        pos = base + jnp.arange(m * cap, dtype=jnp.int32)
+        oid = oid.at[pos].set(
+            jnp.where(ok.reshape(-1), lid.reshape(-1), r_local).astype(jnp.int32),
+            mode="drop", unique_indices=True,
+        )
+        return r + 1, oid
+
+    _, oid = jax.lax.while_loop(
+        lambda c: c[0] < jnp.minimum(plan.rounds, max_rounds),
+        body,
+        (jnp.int32(0), _pvary(jnp.full((t_slots,), r_local, jnp.int32), axis)),
+    )
+    return jnp.argsort(oid, stable=False).astype(jnp.int32)
 
 
 def route_grad_rows(
@@ -484,8 +558,7 @@ def route_grad_rows(
     has_overflow = max_rounds > staged
     if plan is None:
         plan = _make_plan(ids, m, cap, axis)
-    g_s = g_rows[plan.order]
-    ugrad = jax.ops.segment_sum(g_s, plan.seg, num_segments=b)
+    ugrad = _unique_grad_sums(g_rows, plan, b)
     t_slots = staged * m * cap
 
     def body(carry):

@@ -491,7 +491,7 @@ class ShardedTrainStep:
         return new_state, loss, mse
 
     def _fused_step(self, state: TrainState, users, anime, ratings, weights, lr,
-                    plans=None):
+                    plans=None, orders=None):
         """Owner-side FUSED dense-Adam on the routed path: exact dense-Adam
         semantics (every local row decays + updates moments each step, the
         loss includes the L2 value) at one Pallas pass per local table
@@ -530,17 +530,18 @@ class ShardedTrainStep:
             anime, d_a, axis=FULL_AXES, n_shards=m, capacity=cap_a,
             r_local=params.anime_emb.shape[0], plan=plan_a,
         )
+        order_u, order_a = orders if orders is not None else (None, None)
         w_u, mu_u, nu_u, sumsq_u = sparse_adam_update(
             params.user_emb, opt.mu.user_emb, opt.nu.user_emb,
             oid_u, og_u, t, lr, l2=self.l2,
             b1=B1, b2=B2, eps=KERAS_ADAM_EPS, vma=FULL_AXES,
-            dense_grad=dense_u,
+            dense_grad=dense_u, order=order_u,
         )
         w_a, mu_a, nu_a, sumsq_a = sparse_adam_update(
             params.anime_emb, opt.mu.anime_emb, opt.nu.anime_emb,
             oid_a, og_a, t, lr, l2=self.l2,
             b1=B1, b2=B2, eps=KERAS_ADAM_EPS, vma=FULL_AXES,
-            dense_grad=dense_a,
+            dense_grad=dense_a, order=order_a,
         )
         # Per-shard sumsq -> full-table L2 value (dense-path loss parity).
         loss = loss + self.l2 * jax.lax.psum(sumsq_u + sumsq_a, self._baxes)
@@ -578,18 +579,20 @@ class ShardedTrainStep:
 
     def plan_batch_spec(self) -> "rt._Plan":
         """shard_map PartitionSpecs for ONE batch's exchange plan
-        (routing._Plan): per-element arrays (order/seg/is_start/uids) split
-        over the batch axes; per-owner tables (hoff/hcnt, [m] per device)
-        likewise — each device's stripe is ITS OWN bucket table; ``rounds``
-        replicated (it is pmax'd across the mesh)."""
+        (routing._Plan): per-element arrays (seg_orig/uids) split over the
+        batch axes; per-owner tables (hoff/hcnt, [m] per device) likewise —
+        each device's stripe is ITS OWN bucket table; ``rounds`` replicated
+        (it is pmax'd across the mesh)."""
         b = P(self._baxes)
-        return rt._Plan(order=b, seg=b, is_start=b, uids=b,
-                        hoff=b, hcnt=b, rounds=P())
+        return rt._Plan(seg_orig=b, uids=b, hoff=b, hcnt=b, rounds=P())
 
     def _build_train_planned(self):
         """shard_map'd train step taking PRECOMPUTED exchange plans —
-        (state, u, a, r, w, lr, plan_u, plan_a). Only the owner-side-update
-        optimizers route through plans; None otherwise."""
+        (state, u, a, r, w, lr, plan_u, plan_a) for lazy_adam, plus
+        precomputed RECEIPT SORT ORDERS (routing.receipt_sort_order —
+        (plan_u, order_u), (plan_a, order_a)) for fused_adam, whose Adam
+        kernel then runs no per-step argsort at all. Only the
+        owner-side-update optimizers route through plans; None otherwise."""
         if self.routing != "alltoall" or self.optimizer not in (
             "lazy_adam", "fused_adam"
         ):
@@ -597,20 +600,31 @@ class ShardedTrainStep:
         specs = self._step_specs()
         batch_spec = self._batch_spec()
         pspec = self.plan_batch_spec()
-        step = {
-            "lazy_adam": self._lazy_step,
-            "fused_adam": self._fused_step,
-        }[self.optimizer]
+        base = (specs, batch_spec, batch_spec, batch_spec, batch_spec, P())
 
-        def fn(state, users, anime, ratings, weights, lr, plan_u, plan_a):
-            return step(state, users, anime, ratings, weights, lr,
-                        plans=(plan_u, plan_a))
+        if self.optimizer == "lazy_adam":
+            def fn(state, users, anime, ratings, weights, lr, plan_u, plan_a):
+                return self._lazy_step(
+                    state, users, anime, ratings, weights, lr,
+                    plans=(plan_u, plan_a),
+                )
+
+            in_specs = base + (pspec, pspec)
+        else:
+            def fn(state, users, anime, ratings, weights, lr,
+                   plan_u, order_u, plan_a, order_a):
+                return self._fused_step(
+                    state, users, anime, ratings, weights, lr,
+                    plans=(plan_u, plan_a), orders=(order_u, order_a),
+                )
+
+            ospec = P(self._baxes)
+            in_specs = base + (pspec, ospec, pspec, ospec)
 
         return jax.shard_map(
             fn,
             mesh=self.mesh,
-            in_specs=(specs, batch_spec, batch_spec, batch_spec, batch_spec,
-                      P(), pspec, pspec),
+            in_specs=in_specs,
             out_specs=(specs, P(), P()),
         )
 
@@ -668,7 +682,7 @@ class ShardedTrainStep:
         return jax.jit(mapped)
 
 
-def build_plans_fn(step: ShardedTrainStep):
+def build_plans_fn(step: ShardedTrainStep, table_rows=None):
     """jitted (users [nb, B], anime [nb, B]) -> (plans_u, plans_a): the
     exchange plan of EVERY staged batch, computed once per fit.
 
@@ -679,21 +693,46 @@ def build_plans_fn(step: ShardedTrainStep):
     non-bandwidth cost of the routed step (NOTES_PERF.md) — across all
     epochs. Stacked plan pytrees have leading dim nb and ride the epoch
     scan as xs.
+
+    For ``optimizer='fused_adam'`` pass ``table_rows=(n_users_padded,
+    n_anime_padded)``: each table's entry becomes ``(plan, receipt_order)``
+    where receipt_order is routing.receipt_sort_order — the owner-side
+    grouping sort the fused Adam kernel would otherwise recompute EVERY
+    step (~0.8 ms/table at B=10k).
     """
     m = step._n_shards
+    fused = step.optimizer == "fused_adam"
+    if fused and table_rows is None:
+        raise ValueError(
+            "build_plans_fn needs table_rows=(n_users_padded, "
+            "n_anime_padded) for fused_adam (receipt-order precompute)"
+        )
+
+    def per_table(ids_all, cap, r_local):
+        def one(ids):
+            plan = rt.make_plan(ids, m, cap, FULL_AXES)
+            if not fused:
+                return plan
+            order = rt.receipt_sort_order(
+                ids, axis=FULL_AXES, n_shards=m, capacity=cap,
+                r_local=r_local, plan=plan,
+            )
+            return plan, order
+
+        return jax.lax.map(one, ids_all)
 
     def fn(users, anime):  # device-local [nb, B_local]
         cap_u = step._capacity(users.shape[1])
         cap_a = step._capacity(anime.shape[1])
-        pu = jax.lax.map(
-            lambda ids: rt.make_plan(ids, m, cap_u, FULL_AXES), users
-        )
-        pa = jax.lax.map(
-            lambda ids: rt.make_plan(ids, m, cap_a, FULL_AXES), anime
-        )
-        return pu, pa
+        ru = ra = None
+        if fused:
+            ru = table_rows[0] // m
+            ra = table_rows[1] // m
+        return per_table(users, cap_u, ru), per_table(anime, cap_a, ra)
 
     pspec = step.plan_batch_spec()
+    if fused:
+        pspec = (pspec, P(step._baxes))
     stacked = jax.tree.map(
         lambda s: P(None, *tuple(s)), pspec,
         is_leaf=lambda x: isinstance(x, P),
@@ -736,8 +775,17 @@ def build_epoch_fn(step: ShardedTrainStep, shuffle: bool, planned: bool = False)
             "owner-side optimizer (lazy_adam / fused_adam)"
         )
 
+    fused = step.optimizer == "fused_adam"
+
     def _scan_train(state, xs, lr):
-        if planned:
+        if planned and fused:
+            def body(state, batch):
+                u, a, r, w, (pu, ou), (pa, oa) = batch
+                new_state, loss, mse = planned_mapped(
+                    state, u, a, r, w, lr, pu, ou, pa, oa
+                )
+                return new_state, (loss, mse, jnp.sum(w))
+        elif planned:
             def body(state, batch):
                 u, a, r, w, pu, pa = batch
                 new_state, loss, mse = planned_mapped(state, u, a, r, w, lr,

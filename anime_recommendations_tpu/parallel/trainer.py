@@ -23,7 +23,10 @@ the scaled values (neural_network.py:176-177 vs :213 — dead code, SURVEY.md
 
 Checkpoints written during a sharded fit hold the mesh-PHYSICAL layout
 (resume must use the same mesh shape); the returned TrainResult.state is
-always host-resident in LOGICAL row order.
+always host-resident in LOGICAL row order (allgathered when the mesh
+spans processes). Both properties are exercised by a real 2-OS-process
+fit + same-mesh restore in tests/test_distributed.py
+(test_two_process_full_fit_matches_single_process).
 """
 
 from __future__ import annotations
@@ -151,6 +154,9 @@ class ShardedTrainer(Trainer):
         n_users_p = pad_rows_for_shards(n_users, m)
         shard_anime = self.shard_anime or self.routing == "alltoall"
         n_anime_p = pad_rows_for_shards(n_anime, m) if shard_anime else n_anime
+        # Stashed for the staged-plan builder (fused receipt orders need
+        # the per-shard table row counts).
+        self._table_rows = (n_users_p, n_anime_p)
         state = init_train_state(rng, n_users_p, n_anime_p, self.embedding_size)
         return place_state(state, self.mesh, self.shard_anime, self.routing)
 
@@ -231,10 +237,19 @@ class ShardedTrainer(Trainer):
         # Routed owner-side optimizers: precompute every batch's exchange
         # plan ONCE per fit (sharded_train.build_plans_fn) — batch
         # composition is frozen above, so the plans stay valid for every
-        # epoch and the per-step grouping argsorts leave the scan body.
-        planned = self._step._train_planned_mapped is not None
+        # epoch and the per-step plan + grouping-argsort machinery leaves
+        # the scan body (fused_adam additionally precomputes the
+        # owner-side receipt sort orders; needs the table shapes stashed
+        # by _init_state — a caller-provided initial_state skips that, and
+        # then the epoch falls back to in-step plans).
+        table_rows = getattr(self, "_table_rows", None)
+        planned = self._step._train_planned_mapped is not None and (
+            self.optimizer != "fused_adam" or table_rows is not None
+        )
         plans = (
-            build_plans_fn(self._step)(train_arrays[0], train_arrays[1])
+            build_plans_fn(self._step, table_rows)(
+                train_arrays[0], train_arrays[1]
+            )
             if planned else None
         )
         epoch_fn = build_epoch_fn(self._step, self.shuffle_each_epoch, planned)

@@ -39,6 +39,13 @@ class RecContext:
     # int8 two-stage retrieval companions (ops/quantized.py); None = dense.
     anime_qt: object = None
     user_qt: object = None
+    # Scan handles (what anime_table()/user_table() return): a plain array,
+    # a QuantizedTable, or — default — a ShuffledTable wrapping either
+    # (build-time random row order restores the packed extraction's
+    # random-placement collision model on clustered trained tables; see
+    # ops/topk.ShuffledTable).
+    anime_scan: object = None
+    user_scan: object = None
     _by_user: "pd.core.groupby.DataFrameGroupBy" = field(default=None, repr=False)
     _vocab_anime_meta: pd.DataFrame = field(default=None, repr=False)
 
@@ -60,25 +67,34 @@ class RecContext:
         catalog: Catalog,
         ratings: pd.DataFrame,
         retrieval_dtype=None,
+        shuffle_tables: bool = True,
     ) -> "RecContext":
         """Retrieval numerics: None/"f32" = exact-oracle scans;
         "bf16"/jnp.bfloat16 halves scan HBM traffic at ~1e-3 score error;
         "int8" stores tables quantized (4x less scan traffic) and rescores
         a candidate pool in exact f32 (ops/quantized.py) — final scores and
-        near-always the exact top-k match f32."""
-        anime_norm, user_norm = normalized_tables(params)
-        anime_qt = user_qt = None
-        if retrieval_dtype in ("int8", "i8"):
-            from anime_recommendations_tpu.ops.quantized import quantize_rows
+        near-always the exact top-k match f32.
 
-            anime_qt = jax.device_put(quantize_rows(anime_norm))
-            user_qt = jax.device_put(quantize_rows(user_norm))
-        elif retrieval_dtype in ("bf16", "bfloat16"):
+        ``shuffle_tables`` (default True) stores the SCAN copies in a
+        fixed random physical row order (ops/topk.shuffle_rows): trained
+        tables cluster hot, mutually-similar rows at adjacent vocab
+        indices, which can overflow the packed extraction's per-group
+        candidate depth (measured two-stage-vs-exact overlap 0.80 on a
+        zipf-trained table; 1.0 after shuffling). ``anime_norm``/
+        ``user_norm`` stay in LOGICAL vocab order for query-row reads;
+        masks and result indices translate inside cosine_topk/score_topk.
+        """
+        from anime_recommendations_tpu.ops.quantized import quantize_rows
+        from anime_recommendations_tpu.ops.topk import ShuffledTable, shuffle_rows
+
+        anime_norm, user_norm = normalized_tables(params)
+        int8 = retrieval_dtype in ("int8", "i8")
+        if retrieval_dtype in ("bf16", "bfloat16"):
             import jax.numpy as jnp
 
             anime_norm = anime_norm.astype(jnp.bfloat16)
             user_norm = user_norm.astype(jnp.bfloat16)
-        elif retrieval_dtype not in (None, "f32", "float32"):
+        elif not int8 and retrieval_dtype not in (None, "f32", "float32"):
             import numpy as _np
 
             try:
@@ -91,6 +107,23 @@ class RecContext:
                 ) from None
             anime_norm = anime_norm.astype(retrieval_dtype)
             user_norm = user_norm.astype(retrieval_dtype)
+
+        def scan_handle(norm, seed):
+            """(scan_handle, quantized_inner_or_None) for one table."""
+            if shuffle_tables:
+                st = shuffle_rows(norm, seed=seed)
+                if int8:
+                    qt = jax.device_put(quantize_rows(st.table))
+                    return ShuffledTable(qt, st.perm, st.inv), qt
+                return st, None
+            if int8:
+                qt = jax.device_put(quantize_rows(norm))
+                return qt, qt
+            return norm, None
+
+        anime_scan, anime_qt = scan_handle(anime_norm, seed=11)
+        user_scan, user_qt = scan_handle(user_norm, seed=13)
+
         return cls(
             vocab=vocab,
             catalog=catalog,
@@ -100,15 +133,21 @@ class RecContext:
             head=head_affine(params, bn_state),
             anime_qt=anime_qt,
             user_qt=user_qt,
+            anime_scan=jax.device_put(anime_scan),
+            user_scan=jax.device_put(user_scan),
         )
 
-    # ---- retrieval-table accessors (dense array or QuantizedTable) -------------
+    # ---- retrieval-table accessors (array / QuantizedTable / ShuffledTable) ----
 
     def anime_table(self):
         """The anime table to hand to cosine_topk/score_topk."""
+        if self.anime_scan is not None:
+            return self.anime_scan
         return self.anime_qt if self.anime_qt is not None else self.anime_norm
 
     def user_table(self):
+        if self.user_scan is not None:
+            return self.user_scan
         return self.user_qt if self.user_qt is not None else self.user_norm
 
     # ---- per-user views -------------------------------------------------------

@@ -214,7 +214,7 @@ def main() -> None:
     ).reshape(nb_r, batch), sh_b)
     rw = jax.device_put(jnp.ones((nb_r, batch), jnp.float32), sh_b)
     rev = (ru[:2], ra[:2], rr[:2], rw[:2])
-    plans_u, plans_a = build_plans_fn(sstep)(ru, ra)
+    plans_u, plans_a = build_plans_fn(sstep, (n_users_full, n_anime))(ru, ra)
     repoch = build_epoch_fn(sstep, shuffle=True, planned=True)
     rstate = place_state(
         init_train_state(jax.random.PRNGKey(4), n_users_full, n_anime, d),
@@ -468,16 +468,39 @@ def main() -> None:
             batch, l2, sorted_scatter=True, optimizer="fused_adam",
         )
     float(tl[-1])
+    from anime_recommendations_tpu.ops.topk import cosine_topk as ctk
+    from anime_recommendations_tpu.ops.topk import shuffle_rows
+
     _, user_n = normalized_tables(st_t.params)
     user_n = jax.device_put(user_n)
     hot_q = jnp.asarray(user_n[:256])      # hottest (lowest-id) users
-    tv2, ti2 = masked_topk(user_n, hot_q, 10)            # default two-stage
     tvx, tix = masked_topk(user_n, hot_q, 10, exact_scan=True)
-    ti2, tix = np.asarray(ti2), np.asarray(tix)
-    details["topk_trained_twostage_vs_exact_overlap"] = round(float(np.mean(
-        [len(set(ti2[i]) & set(tix[i])) / 10 for i in range(256)]
-    )), 5)
-    del st_t, data_t, ds_t, user_n
+    tix = np.asarray(tix)
+
+    def trained_overlap(ti):
+        ti = np.asarray(ti)
+        return round(float(np.mean(
+            [len(set(ti[i]) & set(tix[i])) / 10 for i in range(256)]
+        )), 5)
+
+    # Raw kernel on clustered rows: hot users sit at ADJACENT low indices
+    # AND train to similar directions, so a query's top-k can overflow one
+    # 512-lane group's top_r candidates — the documented hazard.
+    details["topk_trained_twostage_unshuffled_overlap"] = trained_overlap(
+        masked_topk(user_n, hot_q, 10)[1]
+    )
+    # Production default (RecContext shuffle_tables=True): a build-time
+    # random row order restores the random-placement collision model.
+    # Reported at the batched default depth (top_r=2) and the serving
+    # depth (top_r=3, exact on this table).
+    st_sh = shuffle_rows(user_n, seed=13)
+    details["topk_trained_twostage_vs_exact_overlap"] = trained_overlap(
+        ctk(st_sh, hot_q, 10)[1]
+    )
+    details["topk_trained_twostage_topr3_overlap"] = trained_overlap(
+        ctk(st_sh, hot_q, 10, top_r=3)[1]
+    )
+    del st_t, data_t, ds_t, user_n, st_sh
 
     # ---- serve-path latency (Engine-level queries) ---------------------------
     # The API layer the reference planned but never built (config.yaml:14);
@@ -508,6 +531,10 @@ def main() -> None:
     engine = Engine(ctx, Config())
     uid = int(vocab.user_ids[3])
     aname = catalog.anime["Name"].iloc[5]
+    # Pre-compile the kernels with DIFFERENT queries so "cold" measures a
+    # cache-miss request, not the (queue-dependent) Mosaic compile.
+    engine.similar_anime(catalog.anime["Name"].iloc[9], k=10)
+    engine.user_recs(int(vocab.user_ids[7]), k=10)
     for fn_name, call in (
         ("similar_anime", lambda: engine.similar_anime(aname, k=10)),
         ("user_recs", lambda: engine.user_recs(uid, k=10)),

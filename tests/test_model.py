@@ -177,3 +177,34 @@ def test_sorted_scatter_grads_match_plain(tiny_params, mode):
     g0, g1 = grads(False), grads(mode)
     for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+
+def test_normalized_tables_near_zero_rows_stay_finite():
+    """The full-table L2 decay drives untouched rows toward zero over long
+    fits; once a row's norm-squared underflows f32 (TPUs flush denormals),
+    raw norm division mints inf/NaN rows that win every retrieval scan
+    (round-4 bench caught exactly this: one NaN row capped trained-table
+    overlap at 0.9). normalized_tables must clamp like the model's own
+    _l2_normalize: tiny rows become ~zero vectors, never inf/NaN, and
+    never a top-k hit."""
+    import numpy as np
+
+    from anime_recommendations_tpu.models import two_tower as tt
+    from anime_recommendations_tpu.ops.topk import cosine_topk
+
+    rng = np.random.default_rng(0)
+    user = rng.normal(size=(64, 16)).astype(np.float32)
+    user[7] *= 1e-25            # norm^2 underflows f32
+    user[8] = 0.0               # exactly zero
+    anime = rng.normal(size=(32, 16)).astype(np.float32)
+    params = tt.init_params(jax.random.PRNGKey(0), 64, 32, 16)._replace(
+        user_emb=jnp.asarray(user), anime_emb=jnp.asarray(anime)
+    )
+    a_n, u_n = tt.normalized_tables(params)
+    a_n, u_n = np.asarray(a_n), np.asarray(u_n)
+    assert np.isfinite(u_n).all() and np.isfinite(a_n).all()
+    # Degenerate rows are ~zero, so they can never outrank a real match.
+    assert np.abs(u_n[7]).max() < 1e-3 and np.abs(u_n[8]).max() == 0.0
+    _, idx = cosine_topk(jnp.asarray(u_n), jnp.asarray(u_n[:4]), k=5,
+                         block_rows=128)
+    assert 7 not in np.asarray(idx) and 8 not in np.asarray(idx)
