@@ -30,8 +30,9 @@ Changes vs round 3, each one removing whole passes:
     guard runs only in the final grid block (pl.when).
   * keys-only output: out_i writes dropped; index = block*Bk + group*G +
     (key & (G-1)) computed once on the pooled m candidates.
-Measured (one v5e chip, 350K x 128 f32, k=10): q=256 3.58 -> ~0.7 ms
-(>360K QPS, exact-oracle overlap 1.0), q=8 unchanged ~0.23 ms.
+Measured (one v5e chip, 350K x 128 f32, k=10, scan-harness device time):
+q=256 3.58 -> ~1.1 ms (~230K QPS, exact-oracle overlap 1.0), q=8 at the
+one-table-read DMA floors (f32 0.22 / bf16 0.15 / int8 ~0.1 ms).
 
 ``exact_scan=True`` keeps the adversarially-exact single-stage kernel
 (HIGHEST-precision scan, running-threshold block skip): stage 1's truncated
@@ -518,6 +519,10 @@ def masked_topk(
     block_rows = min(block_rows, _round_up(n, 8))
     if block_rows < GROUP:  # pow2 so the packed key's lane bits are a mask
         block_rows = 1 << (block_rows - 1).bit_length()
+    elif block_rows % GROUP:
+        # Mid-size tables (GROUP < n < default block): round DOWN to a
+        # whole number of groups; the remainder rides the XLA tail path.
+        block_rows -= block_rows % GROUP
     # VMEM guards: (a) the table block plus double-buffering must stay
     # small (bytes bound, so bf16 tables stream 2x the rows per step);
     # (b) the extraction keeps ~3 live [qp, B] f32 surfaces, so large

@@ -506,6 +506,9 @@ def main() -> None:
     # The API layer the reference planned but never built (config.yaml:14);
     # end-to-end host latency: retrieval dispatch + pandas enrichment +
     # JSON shaping. Cold = first query (cache miss), warm = repeat.
+    # NOTE: on this remote-attached TPU each retrieval dispatch pays a
+    # ~25-50 ms tunnel round-trip; the HOST-side cost profiled on a local
+    # backend is ~9 ms (similar_anime) / ~36 ms (user_recs) per query.
     from anime_recommendations_tpu.config import Config
     from anime_recommendations_tpu.data import synthetic as synth
     from anime_recommendations_tpu.data.catalog import Catalog

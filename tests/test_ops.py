@@ -357,3 +357,20 @@ def test_topk_two_stage_adversarial_ties_bounded():
         # Near-optimality within the tie window.
         oracle = np.sort(scores[:, i])[::-1][:5]
         np.testing.assert_allclose(vals[i], oracle, rtol=4e-3, atol=1e-4)
+
+
+def test_midsize_table_between_group_and_block():
+    """Regression: 512 < n < 2048 with n not a 512-multiple used to raise
+    (block_rows=round_up(n,8) wasn't a GROUP multiple) on the kernel path —
+    the serving user table hits exactly this band on small corpora. The
+    block must round DOWN to a group multiple with the remainder scored by
+    the XLA tail."""
+    rng = np.random.default_rng(3)
+    for n in (1147, 513, 1536, 2040):
+        W = rng.standard_normal((n, 32)).astype(np.float32)
+        W /= np.linalg.norm(W, axis=1, keepdims=True)
+        vals, idx = masked_topk(jnp.asarray(W), jnp.asarray(W[:3]), 5,
+                                interpret=True)
+        sc = W[:3] @ W.T
+        oracle = np.argsort(-sc, axis=1)[:, :5]
+        np.testing.assert_array_equal(np.asarray(idx), oracle)
