@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import cached_property
 from pathlib import Path
 
 import numpy as np
@@ -70,14 +71,28 @@ class Catalog:
     def name_of(self, anime_id: int) -> str:
         return self._by_id.loc[anime_id, "Name"]
 
+    @cached_property
+    def _syn_dict(self) -> dict:
+        """id -> synopsis as a plain dict: the serve path looks synopses up
+        per result row, and a hash probe beats a pandas .loc by ~30x."""
+        return {} if self._syn_by_id is None else self._syn_by_id.to_dict()
+
     def synopsis_of(self, anime_id: int) -> str:
         """Synopsis text, or "None" when absent (similar_anime.py:420-423)."""
-        if self._syn_by_id is None:
-            return "None"
-        try:
-            return self._syn_by_id.loc[anime_id]
-        except KeyError:
-            return "None"
+        return self._syn_dict.get(anime_id, "None")
+
+    @cached_property
+    def _name_maps(self) -> tuple[dict, dict]:
+        """(Name -> anime_id, eng_version -> anime_id), FIRST catalog row
+        wins — the reference's ``hit["anime_id"].values[0]`` over a
+        Score-sorted frame. Hash maps replace the per-query full-column
+        equality scans (two ~N-row string compares per resolve)."""
+        first_n = self.anime.drop_duplicates(subset="Name")
+        first_e = self.anime.drop_duplicates(subset="eng_version")
+        return (
+            dict(zip(first_n["Name"], first_n["anime_id"])),
+            dict(zip(first_e["eng_version"], first_e["anime_id"])),
+        )
 
     def resolve_query(self, name: str | int) -> int:
         """Resolve an anime name to its ID with the reference's 3-stage
@@ -92,15 +107,12 @@ class Catalog:
             if int(name) not in self._by_id.index:
                 raise KeyError(f"Unknown anime id: {name}")
             return int(name)
+        by_name, by_eng = self._name_maps
         translated = clean_name(name)
-        hit = self.anime[self.anime["Name"] == translated]
-        if len(hit) == 0:
-            hit = self.anime[self.anime["Name"] == name]
-        if len(hit) == 0:
-            hit = self.anime[self.anime["eng_version"] == translated]
-        if len(hit) == 0:
+        hit = by_name.get(translated, by_name.get(name, by_eng.get(translated)))
+        if hit is None:
             raise KeyError(f"Unknown anime: {name!r}")
-        return int(hit["anime_id"].values[0])
+        return int(hit)
 
     def rows_for_ids(self, anime_ids: np.ndarray) -> pd.DataFrame:
         """Metadata rows for an array of anime IDs, preserving input order.
@@ -108,6 +120,86 @@ class Catalog:
         ids = pd.Index(anime_ids)
         present = ids[ids.isin(self._by_id.index)]
         return self._by_id.loc[present]
+
+    # ---- vectorized position machinery (serve-path hot lookups) ---------------
+
+    @cached_property
+    def _aid_positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """(anime_id sorted ascending, catalog row positions in that order):
+        searchsorted ranges replace whole-catalog ``isin`` scans for the
+        per-user favorites selection (the reference's
+        anime_df[anime_df.anime_id.isin(top)] — user_prefs.py:222-240)."""
+        aid = np.asarray(self.anime["anime_id"].to_numpy(), dtype=np.int64)
+        order = np.argsort(aid, kind="stable")
+        return aid[order], order.astype(np.int64)
+
+    def positions_for_ids(self, anime_ids: np.ndarray) -> np.ndarray:
+        """Catalog row positions (ascending = catalog order) of every row
+        whose anime_id is in ``anime_ids`` — exact ``isin`` semantics,
+        including duplicate catalog rows per id; absent ids contribute
+        nothing."""
+        aid_sorted, pos = self._aid_positions
+        ids = np.unique(np.asarray(anime_ids, dtype=np.int64))
+        if ids.size == 0:
+            return np.empty(0, np.int64)
+        lo = np.searchsorted(aid_sorted, ids, "left")
+        hi = np.searchsorted(aid_sorted, ids, "right")
+        spans = [pos[l:h] for l, h in zip(lo, hi) if h > l]
+        if not spans:
+            return np.empty(0, np.int64)
+        return np.sort(np.concatenate(spans))
+
+    def positions_for_ids_ordered(
+        self, anime_ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(positions, src) for ``anime_ids`` preserving INPUT order —
+        rows_for_ids semantics as position arrays: every catalog row per id
+        (duplicates in catalog order), absent ids dropped; src[j] is the
+        index into ``anime_ids`` that produced output row j (for aligning
+        per-id extras like similarity scores)."""
+        aid_sorted, pos = self._aid_positions
+        ids = np.asarray(anime_ids, dtype=np.int64)
+        lo = np.searchsorted(aid_sorted, ids, "left")
+        hi = np.searchsorted(aid_sorted, ids, "right")
+        spans: list[np.ndarray] = []
+        src: list[int] = []
+        for j in range(len(ids)):
+            l, h = lo[j], hi[j]
+            if h > l:
+                spans.append(pos[l:h])
+                src.extend([j] * (h - l))
+        if not spans:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(spans), np.asarray(src, np.int64)
+
+    @cached_property
+    def column_arrays(self) -> dict[str, np.ndarray]:
+        """Catalog columns as position-indexable numpy arrays — the serve
+        enrichment path gathers k result rows from these instead of paying
+        a pandas .loc + per-column extraction per request."""
+        return {c: self.anime[c].to_numpy() for c in self.anime.columns}
+
+    @cached_property
+    def episodes_numeric(self) -> np.ndarray:
+        """Episodes per catalog row as float32 (NaN where unparseable) —
+        the favorite-anime tie-break key, precomputed once."""
+        return pd.to_numeric(
+            self.anime["Episodes"], errors="coerce"
+        ).to_numpy(np.float32)
+
+    @cached_property
+    def eng_values(self) -> np.ndarray:
+        """eng_version per catalog row (object array, position-indexable)."""
+        return self.anime["eng_version"].to_numpy()
+
+    @cached_property
+    def eng_lookup(self) -> pd.DataFrame:
+        """First catalog row per eng_version, indexed by eng_version — the
+        user_recs enrichment join, built once instead of per request
+        (reference get_anime_frame clean=True semantics)."""
+        return self.anime.drop_duplicates(subset="eng_version").set_index(
+            "eng_version"
+        )
 
     # ---- genre / type machinery ----------------------------------------------
 

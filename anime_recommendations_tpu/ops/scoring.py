@@ -63,31 +63,9 @@ def score_topk(
     """Fused predict-all + mask + top-k: returns (ratings [Qn,k], anime rows)."""
     if user_rows_normalized.ndim == 1:
         user_rows_normalized = user_rows_normalized[None, :]
-    from anime_recommendations_tpu.ops.quantized import QuantizedTable, quantized_topk
-    from anime_recommendations_tpu.ops.topk import (
-        ShuffledTable,
-        _shuffled_dispatch,
-    )
+    from anime_recommendations_tpu.ops.topk import _dispatch_topk
 
-    if isinstance(anime_table_normalized, ShuffledTable):
-        return _shuffled_dispatch(
-            lambda t, q, kk, mask, exclude, **kw: score_topk(
-                t, q, head, kk, mask=mask, exclude=exclude, **kw
-            ),
-            anime_table_normalized, user_rows_normalized, k, mask,
-            kwargs.pop("exclude", None), kwargs,
-        )
-    if isinstance(anime_table_normalized, QuantizedTable):
-        return quantized_topk(
-            anime_table_normalized, user_rows_normalized, k,
-            mask=mask, head=head, use_head=True, **kwargs,
-        )
-    return masked_topk(
-        anime_table_normalized,
-        user_rows_normalized,
-        k,
-        mask=mask,
-        head=head,
-        use_head=True,
-        **kwargs,
+    return _dispatch_topk(
+        anime_table_normalized, user_rows_normalized, mask,
+        kwargs.pop("exclude", None), head, k=k, use_head=True, **kwargs,
     )

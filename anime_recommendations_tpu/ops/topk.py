@@ -14,8 +14,13 @@ Production path (two-stage, shared with ops/quantized.py):
             packed with the lane index, so max IS argmax). The kernel
             emits ONLY packed keys; row indices are reconstructed outside
             from (candidate position, key low bits).
-  stage 2 — the pooled ~max(4k, 64) candidates are gathered and rescored
-            in exact f32 (HIGHEST), and the true top-k of the pool returned.
+  stage 2 — the pooled candidates are gathered and rescored in exact f32
+            (HIGHEST), and the true top-k of the pool returned. The float
+            path pools a slim m = max(2k+4, 24) (stage-1 noise only needs
+            ~5 noise-widths of slack past k); the int8 path pools
+            m = max(4k, k+8). Collision safety is decoupled from pool
+            width: the per-group extraction depth covers a
+            ~max(4k, 64)-candidate budget even when the pool is slim.
 
 Round-4 redesign (the q=256 batched-query fix — NOTES_PERF.md): the
 extraction phase is elementwise work over the full [Qp, B] score surface,
@@ -322,6 +327,9 @@ def _packed_candidates(
     #     ~2.6e-4/query (documented trade; NOTES_PERF round 4 has the
     #     variant table, bench tracks trained-table overlap). Callers can
     #     pin ``top_r`` explicitly; exact_scan remains the exact mode.
+    # Both rates assume rows land in groups ~uniformly — a mask that
+    # funnels the surviving rows into a few groups breaks that model (see
+    # the masked_topk docstring's masked-clustering hazard).
     if top_r is None:
         top_r = 3 if qp <= 64 else 2
     # Depth is decoupled from POOL width: collision safety needs the
@@ -508,6 +516,23 @@ def masked_topk(
     <= -1e30. Default is the two-stage packed scan + exact rescore;
     ``exact_scan=True`` forces the worst-case-exact single-stage kernel
     (module docstring discusses the trade).
+
+    Two-stage contracts (``exact_scan=True`` lifts both):
+      * Candidate RANKING assumes scores > -2 (true for cosine over
+        normalized rows and for the sigmoid head). On arbitrary
+        unnormalized tables, rows scoring <= -2 pack a negative bias-trick
+        key and are treated as DEAD — silently dropped from the pool, not
+        just mis-ranked.
+      * Masked-clustering hazard: the extraction takes the top_r best rows
+        per GROUP-lane group of PHYSICAL row positions. A mask/exclusion
+        that concentrates nearly all surviving rows into one or two groups
+        (e.g. a narrow filter over adjacent vocab ids on an unshuffled
+        table) can leave < k live candidates even though >= k valid rows
+        exist — returned slots beyond the pool then carry the <= -1e30
+        sentinel. The production RecContext path defuses this with a
+        build-time ShuffledTable row shuffle; direct callers with highly
+        clustered masks should wrap their table in shuffle_rows, raise
+        ``top_r``, or pass exact_scan=True.
     """
     if use_head and head is None:
         raise ValueError("use_head=True requires a head=(alpha, beta) array")
@@ -516,6 +541,15 @@ def masked_topk(
     n, d = table.shape
     qn = queries.shape[0]
     itemsize = jnp.dtype(table.dtype).itemsize
+    # Single-block grids gain nothing from the Pallas pipeline (no DMA to
+    # overlap) and pay a full Mosaic compile — on remote-attached TPUs that
+    # compile can queue for minutes behind other tenants. XLA fuses the
+    # equivalent matmul + mask + top_k directly at this size. Checked
+    # against the REQUESTED block size (before group rounding): a mid-size
+    # table (GROUP < n <= block_rows, n not a group multiple) would
+    # otherwise round down and launch a 1-2 block kernel for nothing.
+    if n <= block_rows and not interpret:
+        return _xla_topk(table, queries, k, mask, exclude, head, use_head)
     block_rows = min(block_rows, _round_up(n, 8))
     if block_rows < GROUP:  # pow2 so the packed key's lane bits are a mask
         block_rows = 1 << (block_rows - 1).bit_length()
@@ -532,12 +566,6 @@ def masked_topk(
         block_rows //= 2
     while block_rows > 512 and qp * block_rows * 4 > 4 * 1024 * 1024:
         block_rows //= 2
-    # Single-block grids gain nothing from the Pallas pipeline (no DMA to
-    # overlap) and pay a full Mosaic compile — on remote-attached TPUs that
-    # compile can queue for minutes behind other tenants. XLA fuses the
-    # equivalent matmul + mask + top_k directly at this size.
-    if n <= block_rows and not interpret:
-        return _xla_topk(table, queries, k, mask, exclude, head, use_head)
     if k > block_rows:
         raise ValueError(f"k={k} must be <= block_rows={block_rows}")
 
@@ -715,8 +743,64 @@ def shuffle_rows(table: jax.Array, seed: int = 0) -> ShuffledTable:
     return ShuffledTable(table=table[perm], perm=perm, inv=inv)
 
 
-def _shuffled_dispatch(inner, st: ShuffledTable, query_rows, k,
-                       mask, exclude, kwargs):
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "use_head", "block_rows", "interpret", "lane_pad", "exact_scan",
+        "top_r", "m",
+    ),
+)
+def _dispatch_topk(
+    table,                        # array | QuantizedTable | ShuffledTable
+    queries: jax.Array,           # [Qn, D] float
+    mask,
+    exclude,
+    head,
+    *,
+    k: int,
+    use_head: bool = False,
+    block_rows: int | None = None,
+    interpret: bool | None = None,
+    lane_pad: int = 8,
+    exact_scan: bool = False,
+    top_r: int | None = None,
+    m: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """One jitted entry for every retrieval flavor: the table's pytree
+    STRUCTURE (plain array / QuantizedTable / ShuffledTable wrapping
+    either) is static under jit, so the shuffle translation, the inner
+    two-stage call and the result unpermute all compile into a single
+    program — one dispatch per request instead of a chain of eager gathers
+    (which dominated serve-path host latency, and on a remote-attached TPU
+    each paid a tunnel round-trip)."""
+    from anime_recommendations_tpu.ops.quantized import QuantizedTable, quantized_topk
+
+    common = dict(
+        interpret=interpret, lane_pad=lane_pad, use_head=use_head, head=head,
+        top_r=top_r,
+    )
+
+    def inner(t, mask, exclude):
+        if isinstance(t, QuantizedTable):
+            if exact_scan:
+                raise ValueError(
+                    "exact_scan is a float-table mode; quantized retrieval "
+                    "always exact-rescores its candidate pool instead"
+                )
+            kw = dict(common)
+            if m is not None:
+                kw["m"] = m
+            if block_rows is not None:
+                kw["block_rows"] = block_rows
+            return quantized_topk(t, queries, k, mask=mask, exclude=exclude, **kw)
+        kw = dict(common, exact_scan=exact_scan)
+        if block_rows is not None:
+            kw["block_rows"] = block_rows
+        return masked_topk(t, queries, k, mask=mask, exclude=exclude, **kw)
+
+    if not isinstance(table, ShuffledTable):
+        return inner(table, mask, exclude)
+    st = table
     n = st.perm.shape[0]
     mask_p = None if mask is None else jnp.asarray(mask)[st.perm]
     if exclude is None:
@@ -724,11 +808,8 @@ def _shuffled_dispatch(inner, st: ShuffledTable, query_rows, k,
     else:
         e = exclude.astype(jnp.int32)
         excl_p = jnp.where(e >= 0, st.inv[jnp.clip(e, 0, n - 1)], -1)
-    vals, idx_p = inner(st.table, query_rows, k, mask=mask_p, exclude=excl_p,
-                        **kwargs)
-    idx = jnp.where(
-        idx_p >= 0, st.perm[jnp.clip(idx_p, 0, n - 1)], idx_p
-    )
+    vals, idx_p = inner(st.table, mask_p, excl_p)
+    idx = jnp.where(idx_p >= 0, st.perm[jnp.clip(idx_p, 0, n - 1)], idx_p)
     return vals, idx
 
 
@@ -750,18 +831,9 @@ def cosine_topk(
     """
     if query_rows.ndim == 1:
         query_rows = query_rows[None, :]
-    from anime_recommendations_tpu.ops.quantized import QuantizedTable, quantized_topk
-
-    if isinstance(table_normalized, ShuffledTable):
-        return _shuffled_dispatch(
-            cosine_topk, table_normalized, query_rows, k, mask, exclude, kwargs
-        )
-    if isinstance(table_normalized, QuantizedTable):
-        return quantized_topk(
-            table_normalized, query_rows, k, mask=mask, exclude=exclude, **kwargs
-        )
-    return masked_topk(
-        table_normalized, query_rows, k, mask=mask, exclude=exclude, **kwargs
+    head = kwargs.pop("head", None)
+    return _dispatch_topk(
+        table_normalized, query_rows, mask, exclude, head, k=k, **kwargs
     )
 
 

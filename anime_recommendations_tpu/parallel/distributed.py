@@ -107,8 +107,12 @@ def pad_batch_for_hosts(
     if weights is None:
         weights = np.ones(b, np.float32)
     if pad == 0:
+        # Same dtype contract as the padded path below: float32 ratings /
+        # weights regardless of the input dtype (integer ratings would
+        # otherwise come back int here and float32 when padding happened).
         return (np.asarray(users), np.asarray(anime),
-                np.asarray(ratings), np.asarray(weights))
+                np.asarray(ratings, dtype=np.float32),
+                np.asarray(weights, dtype=np.float32))
     return (
         np.pad(np.asarray(users), (0, pad)),
         np.pad(np.asarray(anime), (0, pad)),

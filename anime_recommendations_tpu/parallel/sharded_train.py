@@ -707,6 +707,16 @@ def build_plans_fn(step: ShardedTrainStep, table_rows=None):
             "build_plans_fn needs table_rows=(n_users_padded, "
             "n_anime_padded) for fused_adam (receipt-order precompute)"
         )
+    if fused:
+        for label, rows in zip(("n_users", "n_anime"), table_rows):
+            if rows % m:
+                raise ValueError(
+                    f"table_rows {label}={rows} not divisible by the "
+                    f"{m}-shard mesh: pass the PADDED row counts "
+                    "(place_state pads tables to a shard multiple) or the "
+                    "precomputed receipt orders would silently mis-group "
+                    "ids against the runtime shard tables"
+                )
 
     def per_table(ids_all, cap, r_local):
         def one(ids):

@@ -45,6 +45,7 @@ def similar_anime_batch(
         k=min(count, ctx.vocab.n_anime),
         mask=np.asarray(mask),
         exclude=q_idx,
+        **ctx.topk_kwargs,
     )
     vals = np.asarray(vals)
     idx = np.asarray(idx)
@@ -98,6 +99,7 @@ def model_recs_batch(
         ctx.head,
         k=k,
         mask=np.asarray(shared),
+        **ctx.topk_kwargs,
     )
     vals = np.asarray(vals)
     idx = np.asarray(idx)

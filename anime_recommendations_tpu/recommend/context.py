@@ -12,6 +12,7 @@ from it.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import cached_property
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,10 @@ class RecContext:
     # ops/topk.ShuffledTable).
     anime_scan: object = None
     user_scan: object = None
+    # Extra kwargs merged into every cosine_topk/score_topk call the
+    # recommenders make (e.g. {"interpret": False} to force the compiled
+    # XLA small-table path on a CPU-hosted context — the serve host bench).
+    topk_kwargs: dict = field(default_factory=dict)
     _by_user: "pd.core.groupby.DataFrameGroupBy" = field(default=None, repr=False)
     _vocab_anime_meta: pd.DataFrame = field(default=None, repr=False)
 
@@ -68,6 +73,8 @@ class RecContext:
         ratings: pd.DataFrame,
         retrieval_dtype=None,
         shuffle_tables: bool = True,
+        device=None,
+        topk_kwargs: dict | None = None,
     ) -> "RecContext":
         """Retrieval numerics: None/"f32" = exact-oracle scans;
         "bf16"/jnp.bfloat16 halves scan HBM traffic at ~1e-3 score error;
@@ -108,16 +115,21 @@ class RecContext:
             anime_norm = anime_norm.astype(retrieval_dtype)
             user_norm = user_norm.astype(retrieval_dtype)
 
+        def put(x):
+            return jax.device_put(x, device) if device is not None else (
+                jax.device_put(x)
+            )
+
         def scan_handle(norm, seed):
             """(scan_handle, quantized_inner_or_None) for one table."""
             if shuffle_tables:
                 st = shuffle_rows(norm, seed=seed)
                 if int8:
-                    qt = jax.device_put(quantize_rows(st.table))
+                    qt = put(quantize_rows(st.table))
                     return ShuffledTable(qt, st.perm, st.inv), qt
                 return st, None
             if int8:
-                qt = jax.device_put(quantize_rows(norm))
+                qt = put(quantize_rows(norm))
                 return qt, qt
             return norm, None
 
@@ -128,13 +140,14 @@ class RecContext:
             vocab=vocab,
             catalog=catalog,
             ratings=ratings,
-            anime_norm=jax.device_put(anime_norm),
-            user_norm=jax.device_put(user_norm),
-            head=head_affine(params, bn_state),
+            anime_norm=put(anime_norm),
+            user_norm=put(user_norm),
+            head=put(head_affine(params, bn_state)),
             anime_qt=anime_qt,
             user_qt=user_qt,
-            anime_scan=jax.device_put(anime_scan),
-            user_scan=jax.device_put(user_scan),
+            anime_scan=put(anime_scan),
+            user_scan=put(user_scan),
+            topk_kwargs=dict(topk_kwargs or {}),
         )
 
     # ---- retrieval-table accessors (array / QuantizedTable / ShuffledTable) ----
@@ -159,6 +172,54 @@ class RecContext:
         except KeyError:
             return self.ratings.iloc[0:0]
 
+    @cached_property
+    def _user_csr(self):
+        """Per-user rating slices as flat arrays sorted by user_id:
+        (uid_sorted, rating, anime_id, anime_vocab_idx). Two searchsorteds
+        replace a pandas groupby get_group + column extraction on the serve
+        hot path (the frames are immutable for the context's lifetime)."""
+        uid = np.asarray(self.ratings["user_id"].to_numpy(), dtype=np.int64)
+        order = np.argsort(uid, kind="stable")
+        we = None
+        if "watched_episodes" in self.ratings.columns:
+            we = self.ratings["watched_episodes"].to_numpy()[order]
+        return (
+            uid[order],
+            self.ratings["rating"].to_numpy()[order].astype(np.float64),
+            np.asarray(self.ratings["anime_id"].to_numpy(), np.int64)[order],
+            np.asarray(self.ratings["anime"].to_numpy(), np.int64)[order],
+            we,
+        )
+
+    def _user_slice(self, user_id: int) -> slice:
+        uid_sorted = self._user_csr[0]
+        lo = np.searchsorted(uid_sorted, user_id, "left")
+        hi = np.searchsorted(uid_sorted, user_id, "right")
+        return slice(lo, hi)
+
+    def user_rating_arrays(self, user_id: int):
+        """(ratings, anime_ids, anime_vocab_idx) of one user — numpy views,
+        original row order within the user preserved (stable sort)."""
+        _, r, aid, aenc, _ = self._user_csr
+        s = self._user_slice(user_id)
+        return r[s], aid[s], aenc[s]
+
+    def user_watched_episodes(self, user_id: int):
+        """watched_episodes of one user's rating rows (aligned with
+        user_rating_arrays), or None when the frame lacks the column."""
+        we = self._user_csr[4]
+        return None if we is None else we[self._user_slice(user_id)]
+
+    def favorite_positions(self, user_id: int, percentile: float) -> np.ndarray:
+        """Catalog row positions of the user's >= percentile-rated anime,
+        in catalog order — the vectorized core of fave_rows (reference
+        fave_genres/fave_sources, user_prefs.py:222-261)."""
+        r, aid, _ = self.user_rating_arrays(user_id)
+        if r.size == 0:
+            return np.empty(0, np.int64)
+        cut = np.percentile(r, float(percentile))
+        return self.catalog.positions_for_ids(aid[r >= cut])
+
     def random_user(self, rng: np.random.Generator | None = None) -> int:
         rng = rng or np.random.default_rng()
         return int(self.vocab.user_ids[rng.integers(len(self.vocab.user_ids))])
@@ -174,10 +235,15 @@ class RecContext:
         """Catalog metadata frame aligned to anime-vocab row order."""
         return self._vocab_anime_meta
 
+    @cached_property
+    def _in_catalog(self) -> np.ndarray:
+        return np.array(self._vocab_anime_meta["anime_id"].notna().to_numpy())
+
     def in_catalog_mask(self) -> np.ndarray:
         """Vocab rows whose anime exists in the catalog (the reference would
-        crash on these during enrichment; we mask them out)."""
-        return np.array(self._vocab_anime_meta["anime_id"].notna().to_numpy())
+        crash on these during enrichment; we mask them out). Returns a
+        fresh copy — callers &= filters into it."""
+        return self._in_catalog.copy()
 
     def type_mask(self, types: list[str]) -> np.ndarray:
         """Vocab-row mask for catalog Type membership."""
@@ -192,8 +258,7 @@ class RecContext:
     def watched_mask(self, user_id: int) -> np.ndarray:
         """Vocab rows the user has rated."""
         watched = np.zeros(self.vocab.n_anime, dtype=bool)
-        rows = self.user_rows(user_id)
-        idx = rows["anime"].to_numpy()
+        _, _, idx = self.user_rating_arrays(user_id)
         watched[idx[idx >= 0]] = True
         return watched
 

@@ -72,6 +72,7 @@ def model_recs(
         ctx.head,
         k=min(n_recs, ctx.vocab.n_anime),
         mask=np.asarray(mask),
+        **ctx.topk_kwargs,
     )
     vals = np.asarray(vals)[0]
     idx = np.asarray(idx)[0]
@@ -79,21 +80,23 @@ def model_recs(
     vals, idx = vals[keep], idx[keep]
 
     anime_ids = ctx.vocab.anime_ids[idx]
-    rows = ctx.catalog.rows_for_ids(anime_ids).reset_index(drop=True)
+    pos, src = ctx.catalog.positions_for_ids_ordered(anime_ids)
+    cols = ctx.catalog.column_arrays
+    aid = cols["anime_id"][pos]
     frame = pd.DataFrame(
         {
-            "Name": rows["Name"].to_numpy(),
-            "Prediction": vals[: len(rows)],
-            "Genres": rows["Genres"].to_numpy(),
-            "Source": rows["Source"].to_numpy(),
-            "anime_id": rows["anime_id"].to_numpy(),
-            "Sypnopsis": [ctx.catalog.synopsis_of(int(a)) for a in rows["anime_id"]],
-            "Episodes": rows["Episodes"].to_numpy(),
-            "Japanese name": rows["japanese_name"].to_numpy(),
-            "Studios": rows["Studios"].to_numpy(),
-            "Premiered": rows["Premiered"].to_numpy(),
-            "Score": rows["Score"].to_numpy(),
-            "Type": rows["Type"].to_numpy(),
+            "Name": cols["Name"][pos],
+            "Prediction": vals[src],
+            "Genres": cols["Genres"][pos],
+            "Source": cols["Source"][pos],
+            "anime_id": aid,
+            "Sypnopsis": [ctx.catalog.synopsis_of(int(a)) for a in aid],
+            "Episodes": cols["Episodes"][pos],
+            "Japanese name": cols["japanese_name"][pos],
+            "Studios": cols["Studios"][pos],
+            "Premiered": cols["Premiered"][pos],
+            "Score": cols["Score"][pos],
+            "Type": cols["Type"][pos],
         }
     )
     return frame[OUTPUT_COLUMNS].reset_index(drop=True), filename

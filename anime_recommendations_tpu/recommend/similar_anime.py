@@ -57,6 +57,7 @@ def similar_anime(
         k=min(count, ctx.vocab.n_anime),
         mask=np.asarray(mask),
         exclude=np.asarray([query_index], np.int32),
+        **ctx.topk_kwargs,
     )
     vals = np.asarray(vals)[0]
     idx = np.asarray(idx)[0]
@@ -64,33 +65,45 @@ def similar_anime(
     vals, idx = vals[keep], idx[keep]
 
     anime_ids = ctx.vocab.anime_ids[idx]
-    frame = enrich_anime_rows(ctx, anime_ids, extra={"Similarity": vals})
-    frame = frame[OUTPUT_COLUMNS]
-    return frame.reset_index(drop=True), filename, translated
+    frame = enrich_anime_rows(
+        ctx, anime_ids, extra={"Similarity": vals}, columns=OUTPUT_COLUMNS
+    )
+    return frame, filename, translated
+
+
+_DEFAULT_ENRICH_COLUMNS = [
+    "anime_id", "Name", "Genres", "Sypnopsis", "Episodes", "Japanese name",
+    "Studios", "Premiered", "Score", "Type", "Source", "Rating",
+]
+_COLUMN_SOURCES = {"Japanese name": "japanese_name"}
 
 
 def enrich_anime_rows(
-    ctx: RecContext, anime_ids: np.ndarray, extra: dict[str, np.ndarray]
+    ctx: RecContext,
+    anime_ids: np.ndarray,
+    extra: dict[str, np.ndarray],
+    columns: list[str] | None = None,
 ) -> pd.DataFrame:
     """Vectorized metadata + synopsis join, replacing the reference's
-    per-anime pandas row extraction loop (similar_anime.py:413-455)."""
-    rows = ctx.catalog.rows_for_ids(anime_ids).reset_index(drop=True)
-    out = pd.DataFrame(
-        {
-            "anime_id": rows["anime_id"].to_numpy(),
-            "Name": rows["Name"].to_numpy(),
-            "Genres": rows["Genres"].to_numpy(),
-            "Sypnopsis": [ctx.catalog.synopsis_of(int(a)) for a in rows["anime_id"]],
-            "Episodes": rows["Episodes"].to_numpy(),
-            "Japanese name": rows["japanese_name"].to_numpy(),
-            "Studios": rows["Studios"].to_numpy(),
-            "Premiered": rows["Premiered"].to_numpy(),
-            "Score": rows["Score"].to_numpy(),
-            "Type": rows["Type"].to_numpy(),
-            "Source": rows["Source"].to_numpy(),
-            "Rating": rows["Rating"].to_numpy(),
-        }
-    )
-    for key, values in extra.items():
-        out[key] = np.asarray(values)[: len(out)]
-    return out
+    per-anime pandas row extraction loop (similar_anime.py:413-455): k
+    gathers from the catalog's cached column arrays, no pandas row lookups.
+    ``extra`` columns are per-input-id and get aligned to the produced rows
+    (ids absent from the catalog drop their extra values too). ``columns``
+    fixes the output column order directly (extra names included), saving
+    the caller a frame reindex copy."""
+    pos, src = ctx.catalog.positions_for_ids_ordered(anime_ids)
+    cols = ctx.catalog.column_arrays
+    aid = cols["anime_id"][pos]
+    if columns is None:
+        columns = _DEFAULT_ENRICH_COLUMNS + list(extra)
+    data = {}
+    for c in columns:
+        if c in extra:
+            data[c] = np.asarray(extra[c])[src]
+        elif c == "Sypnopsis":
+            data[c] = [ctx.catalog.synopsis_of(int(a)) for a in aid]
+        elif c == "anime_id":
+            data[c] = aid
+        else:
+            data[c] = cols[_COLUMN_SOURCES.get(c, c)][pos]
+    return pd.DataFrame(data)

@@ -43,6 +43,7 @@ def similar_users(
         ctx.user_norm[query_index],
         k=min(n_users, ctx.vocab.n_users),
         exclude=np.asarray([query_index], np.int32),
+        **ctx.topk_kwargs,
     )
     vals = np.asarray(vals)[0]
     idx = np.asarray(idx)[0]
@@ -74,28 +75,41 @@ def get_fave_anime(
     descending; return the first ``num_faves`` names via str(list)[1:-1].
     Anime absent from the catalog are skipped (the reference would crash).
     """
-    rows = ctx.user_rows(user_id)
-    if len(rows) == 0:
+    r, aid, _ = ctx.user_rating_arrays(user_id)
+    if r.size == 0:
         return ""
-    fave = rows[rows["rating"] == rows["rating"].max()]
-    meta = ctx.catalog.rows_for_ids(fave["anime_id"].to_numpy())
-    fave = fave[fave["anime_id"].isin(meta["anime_id"])]
-    if len(fave) == 0:
+    at_max = r == r.max()
+    fave_ids = aid[at_max]
+    # Catalog rows for the max-rated anime via the precomputed position
+    # index (this runs once PER similar user per cold /similar_users scan —
+    # the pandas get_group + rows_for_ids version dominated that latency).
+    pos, src = ctx.catalog.positions_for_ids_ordered(fave_ids)
+    if len(pos) == 0:
         return ""
-    names = meta["Name"].to_numpy()
-    episodes = pd.to_numeric(meta["Episodes"], errors="coerce").to_numpy(np.float32)
+    names = ctx.catalog.column_arrays["Name"][pos]
+    episodes = ctx.catalog.episodes_numeric[pos]
 
-    fave = fave.copy()
-    fave["name"] = names
-    fave["episodes"] = episodes
-
-    if "watched_episodes" in fave.columns:
-        percent = fave["watched_episodes"].to_numpy() / fave["episodes"].to_numpy()
-        fave["percent"] = percent
+    watched = ctx.user_watched_episodes(user_id)
+    if watched is not None:
+        percent = watched[at_max][src] / episodes
         pmax = np.nanmax(percent) if np.any(~np.isnan(percent)) else np.nan
         if not np.isnan(pmax):
-            fave = fave[fave["percent"] == pmax]
+            keep = percent == pmax
+            names, episodes = names[keep], episodes[keep]
     if TV_only:
-        fave = fave.sort_values(by="episodes", ascending=False)
-    all_faves = fave["name"].tolist()
+        names = names[_pandas_desc_order(episodes)]
+    all_faves = list(names)
     return str(all_faves[:num_faves])[1:-1]
+
+
+def _pandas_desc_order(values: np.ndarray) -> np.ndarray:
+    """Index order of pandas sort_values(ascending=False, kind='quicksort',
+    na_position='last') — the reference's episode-count tie-break sort —
+    replicated step for step (reverse, ascending quicksort, reverse, NaNs
+    appended) so tie behavior matches the frame-based implementation."""
+    idx = np.arange(len(values))
+    nan = np.isnan(values)
+    non_nans = values[~nan][::-1]
+    non_nan_idx = idx[~nan][::-1]
+    order = non_nan_idx[non_nans.argsort(kind="quicksort")][::-1]
+    return np.concatenate([order, idx[nan]])

@@ -34,16 +34,15 @@ class UserPrefs:
 
 
 def fave_rows(ctx: RecContext, user_id: int, percentile: float) -> pd.DataFrame:
-    """Catalog rows of the user's >= percentile-rated anime."""
-    watched = ctx.user_rows(user_id)
-    if len(watched) == 0:
-        return ctx.catalog.anime.iloc[0:0]
-    cut = np.percentile(watched["rating"].to_numpy(), float(percentile))
-    top = watched[watched["rating"] >= cut]
-    top_ids = top.sort_values(by="rating", ascending=False)["anime_id"].to_numpy()
-    # Reference selection: anime_df[anime_df.anime_id.isin(top)] — catalog
-    # (Score-sorted) order, NOT rating order.
-    return ctx.catalog.anime[ctx.catalog.anime["anime_id"].isin(top_ids)]
+    """Catalog rows of the user's >= percentile-rated anime.
+
+    Reference selection: anime_df[anime_df.anime_id.isin(top)] — catalog
+    (Score-sorted) order, NOT rating order. Computed via the context's
+    precomputed per-user rating arrays + catalog position index instead of
+    a groupby + whole-catalog isin scan per call (the serve layer calls
+    this once per similar user per /user_recs request)."""
+    pos = ctx.favorite_positions(user_id, percentile)
+    return ctx.catalog.anime.iloc[pos]
 
 
 def fave_genres(ctx: RecContext, user_id: int, percentile: float = 80.0) -> pd.DataFrame:
@@ -75,8 +74,9 @@ def frequency_dict(col: pd.Series) -> dict[str, int]:
 def user_prefs(
     ctx: RecContext, user_id: int, percentile: float = 80.0
 ) -> UserPrefs:
-    genres = fave_genres(ctx, user_id, percentile)
-    sources = fave_sources(ctx, user_id, percentile)
+    rows = fave_rows(ctx, user_id, percentile)
+    genres = pd.DataFrame(rows[["eng_version", "Genres"]])
+    sources = pd.DataFrame(rows[["eng_version", "Source"]])
     merged = get_fave_df(genres, sources)
     return UserPrefs(
         user_id=user_id,

@@ -44,25 +44,29 @@ def user_recs(
     Returns (frame, csv_filename).
     """
     filename = f"User_ID_{user_id}_user_recs.csv"
+    eng = ctx.catalog.eng_values
     if user_pref is None:
-        user_pref = fave_rows(ctx, user_id, percentile)
-    seen_eng = set(user_pref["eng_version"].tolist())
+        seen_eng = set(eng[ctx.favorite_positions(user_id, percentile)])
+    else:
+        seen_eng = set(user_pref["eng_version"].tolist())
 
+    # Per similar user: their percentile-favorite catalog rows (catalog
+    # order) minus anything the query user favorited — the reference's
+    # per-user fave_rows + isin filter (user_recs.py:708-794), collapsed to
+    # position-array lookups on the context's precomputed indexes.
     collected: list[str] = []
     for sim_id in similar_user_ids:
-        prefs = fave_rows(ctx, int(sim_id), percentile)
-        fresh = prefs[~prefs["eng_version"].isin(seen_eng)]
-        collected.extend(fresh["eng_version"].tolist())
+        pos = ctx.favorite_positions(int(sim_id), percentile)
+        collected.extend(v for v in eng[pos] if v not in seen_eng)
 
     if not collected:
         return pd.DataFrame(columns=OUTPUT_COLUMNS), filename
 
     counts = pd.Series(collected).value_counts()
 
-    # First catalog row per cleaned name (reference get_anime_frame clean=True).
-    lookup = ctx.catalog.anime.drop_duplicates(subset="eng_version").set_index(
-        "eng_version"
-    )
+    # First catalog row per cleaned name (reference get_anime_frame
+    # clean=True), prebuilt once on the catalog.
+    lookup = ctx.catalog.eng_lookup
     names = [n_ for n_ in counts.index if n_ in lookup.index]
     rows = lookup.loc[names]
     frame = pd.DataFrame(

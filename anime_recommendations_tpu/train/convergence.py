@@ -401,10 +401,27 @@ def main(argv: list[str] | None = None) -> None:
     # Golden history header (",loss,mse,val_loss,val_mse,lr" — the
     # reference's anime_nn_history.csv format).
     report.history.to_csv(out / f"history_{tag}.csv")
+    summary = _strict_json(report.summary())
     (out / f"result_{tag}.json").write_text(
-        json.dumps(report.summary(), indent=2, default=float)
+        json.dumps(summary, indent=2, allow_nan=False)
     )
-    print(json.dumps(report.summary(), default=float))
+    print(json.dumps(summary, allow_nan=False))
+
+
+def _strict_json(obj):
+    """RFC 8259-strict JSON values: NaN/Inf (a probe not applicable to the
+    run, e.g. top-k overlap under a diagnostic dot head) become null, and
+    numpy scalars become plain floats."""
+    import math
+
+    if isinstance(obj, dict):
+        return {k: _strict_json(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_strict_json(v) for v in obj]
+    if isinstance(obj, (int, str, bool)) or obj is None:
+        return obj
+    v = float(obj)
+    return None if not math.isfinite(v) else v
 
 
 if __name__ == "__main__":
