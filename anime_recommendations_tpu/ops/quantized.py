@@ -59,7 +59,7 @@ def quantize_rows(table: jax.Array) -> QuantizedTable:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "m", "block_rows", "interpret", "use_head", "lane_pad", "top_r"
+        "k", "m", "block_rows", "interpret", "use_head", "lane_pad", "top_r",
     ),
 )
 def quantized_topk(
@@ -137,11 +137,15 @@ def quantized_topk(
     # The table/scales are NOT padded: the Pallas grid covers full blocks
     # only and the < block_rows ragged tail is scored densely in XLA from
     # the exact f32 rows (padding would jnp.pad-COPY the table per call).
+    # The int8 (32, 128) tile forces qp to a 32-multiple for the MATMUL
+    # operand only; the extraction runs at the float-path width (the
+    # VERDICT r4 int8-q8 gap was mostly this 4x extraction surface).
+    qp_ex = min(qp, _round_up(max(qn, 1), max(lane_pad, 8)))
     cand, alive = _packed_candidates(
         qt.q, q_p, m=m, n=n, qn=qn, qp=qp, block_rows=block_rows,
         mask=mask, exclude_row=excl_row, head_arr=head_arr,
         use_head=use_head, interpret=interpret,
-        qscale_row=qs_p, wscale=qt.scale, top_r=top_r,
+        qscale_row=qs_p, wscale=qt.scale, top_r=top_r, qp_ex=qp_ex,
         queries_f32=queries, tail_table=qt.f32, tail_k=k,
     )
     return _rescore_pool(qt.f32, queries, cand, alive, k, head, use_head)

@@ -183,6 +183,7 @@ def _packed_topk_kernel(
     has_excl: bool,
     quantized: bool,
     group: int,
+    qp_ex: int,
 ):
     """Stage-1 candidate extraction (module docstring): one
     DEFAULT-precision matmul, then per ``group``-lane group the top_r rows
@@ -212,9 +213,13 @@ def _packed_topk_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [Qp, B] exact int32
+        # int8 operands force a 32-sublane query pad (the (32, 128) int8
+        # tile); the extraction is float work, so it runs on the REAL
+        # qp_ex <= Qp rows only — at q=8 this is 4x less VPU surface.
+        acc = acc[:qp_ex]
         scores = (
             acc.astype(jnp.float32)
-            * qscale_ref[0, :][:, None]
+            * qscale_ref[0, :qp_ex][:, None]
             * wscale_ref[0, :][None, :]
         )
     else:
@@ -240,7 +245,7 @@ def _packed_topk_kernel(
             valid = mask_ref[0, :][None, :] > 0.0      # [1,B] broadcasts
         if has_excl:
             rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
-            ex = rows != excl_ref[0, :][:, None]
+            ex = rows != excl_ref[0, :qp_ex][:, None]
             valid = ex if valid is None else valid & ex
         s2 = jnp.where(valid, s2, -1.0)
     _extract_groups(s2, out_k_ref, top_r=top_r, r_pad=r_pad, group=group)
@@ -254,7 +259,13 @@ def _extract_groups(s2, out_k_ref, *, top_r: int, r_pad: int, group: int):
     q=256 (Mosaic keeps one clean vector loop instead of n_groups separate
     reduce nests). Output rows are ROUND-major: row j*n_groups + g holds
     group g's (j+1)-th best, so each round writes one contiguous [ng, Qp]
-    stripe (the tiny [Qp, top_r*ng] transpose happens once per block)."""
+    stripe (the tiny [Qp, top_r*ng] transpose happens once per block).
+
+    (Falsified round-5 variants, measured at q=256 over 350K rows: a
+    (max, runner-up) tournament reduction for top_r=2 compiled ~9x slower
+    — quarter-sliced intermediates are layout poison; a precomputed
+    [1, B] lane-row input replacing the iota+AND measured neutral, 1.094
+    vs 1.076 ms — Mosaic already hoists the loop-invariant iota.)"""
     key = jax.lax.bitcast_convert_type(s2, jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) & jnp.int32(group - 1)
     packed = (key & jnp.int32(~(group - 1))) | lane
@@ -293,6 +304,7 @@ def _packed_candidates(
     qscale_row: jax.Array | None = None,  # [1, Qp] f32 (quantized only)
     wscale: jax.Array | None = None,      # [N] f32 (quantized only)
     top_r: int | None = None,             # per-group depth (None = policy)
+    qp_ex: int | None = None,             # extraction width (None = qp)
 ) -> tuple[jax.Array, jax.Array]:
     """Shared stage 1 for the float and int8 paths.
 
@@ -355,11 +367,14 @@ def _packed_candidates(
             tail_k=tail_k,
         )
 
+    if qp_ex is None:
+        qp_ex = qp
     kernel = functools.partial(
         _packed_topk_kernel,
         top_r=top_r, r_pad=r_pad, block_rows=block_rows,
         use_head=use_head, has_mask=mask is not None,
         has_excl=exclude_row is not None, quantized=quantized, group=group,
+        qp_ex=qp_ex,
     )
     in_specs = [pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM)]
     args = [queries_p]
@@ -393,9 +408,9 @@ def _packed_candidates(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((r_pad, qp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((r_pad, qp_ex), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * r_pad, qp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nb * r_pad, qp_ex), jnp.int32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",),
