@@ -254,9 +254,20 @@ import functools
 
 def _planned_gather(table_local, ids, plan, axis, m, cap, r_local):
     """The exchange forward pass for a given plan: round-looped all-to-all
-    row requests + responses, then unsort back to batch order."""
+    row requests + responses, then unsort back to batch order.
+
+    m == 1 specializes to identity routing: every id is local, so the
+    whole send/serve/respond/unsort machinery algebraically collapses to
+    ``table_local[ids]`` (with the same OOB -> zeros contract). This is
+    the production single-shard case — it removes the response scatter and
+    the dup-fill gather entirely (~3 of the 4 [B, D] row ops per table per
+    step that made up the m=1 routed residual, NOTES_PERF round 4)."""
     b = ids.shape[0]
     d = table_local.shape[1]
+    if m == 1:
+        ok = (ids >= 0) & (ids < r_local)
+        rows = table_local[jnp.clip(ids, 0, r_local - 1)]
+        return jnp.where(ok[:, None], rows, jnp.zeros((), table_local.dtype))
 
     def body(carry):
         r, uresp = carry
@@ -302,6 +313,16 @@ def _exchange_fn(axis, n_shards: int, capacity: int, r_local: int, dtype: str):
         return _forward(table_local, ids), ids
 
     def bwd(ids, g):
+        if m == 1:
+            # Identity routing (see _planned_gather): duplicates accumulate
+            # directly; OOB targets drop. One scatter-add, no plan at all.
+            r_loc = r_local
+            ok = (ids >= 0) & (ids < r_loc)
+            tgt = jnp.where(ok, ids, r_loc)
+            d_table = jnp.zeros((r_loc, g.shape[1]), g.dtype).at[tgt].add(
+                g, mode="drop"
+            )
+            return d_table.astype(dtype), None
         plan = _make_plan(ids, m, cap, axis)
         b = ids.shape[0]
         d = g.shape[1]
@@ -560,6 +581,25 @@ def route_grad_rows(
         plan = _make_plan(ids, m, cap, axis)
     ugrad = _unique_grad_sums(g_rows, plan, b)
     t_slots = staged * m * cap
+    if m == 1 and t_slots >= b:
+        # Identity routing: the owner IS the sender, so the receipt buffer
+        # is just (head-rank local ids, per-unique grad sums) — the exact
+        # slot layout the general loop produces at m=1 (pos = r*cap + j =
+        # head rank), with no send gather, no response scatter and no
+        # all-to-alls. receipt_sort_order's precomputed orders stay valid.
+        k = jnp.arange(b, dtype=jnp.int32)
+        lid = plan.uids.astype(jnp.int32)
+        valid = (k < plan.hcnt[0]) & (lid >= 0) & (lid < r_local)
+        oid = jnp.where(valid, lid, r_local)
+        og = jnp.where(valid[:, None], ugrad, jnp.zeros((), g_rows.dtype))
+        if t_slots > b:
+            oid = jnp.concatenate(
+                [oid, jnp.full((t_slots - b,), r_local, jnp.int32)]
+            )
+            og = jnp.concatenate(
+                [og, jnp.zeros((t_slots - b, d), g_rows.dtype)]
+            )
+        return oid, og, None
 
     def body(carry):
         r, oid, og, dense = carry

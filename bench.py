@@ -369,6 +369,8 @@ def main() -> None:
     per = dev_keys("topk_user_f32_q256", topk10, Wd32, qs256, 350_000, 4)
     details["topk_user_f32_q256_qps"] = round(256 / (per / 1e3))
     Wb16 = jax.device_put(jnp.asarray(W, jnp.bfloat16))
+    dev_keys("topk_user_bf16_q8", topk10, Wb16,
+             qstack_for(W, 8, jnp.bfloat16), 350_000, 2)
     per = dev_keys("topk_user_bf16_q256", topk10, Wb16,
                    qstack_for(W, 256, jnp.bfloat16), 350_000, 2)
     details["topk_user_bf16_q256_qps"] = round(256 / (per / 1e3))
@@ -423,6 +425,35 @@ def main() -> None:
     details["topk_int8_overlap_vs_oracle"] = round(
         float(np.mean([len(set(iq[i]) & set(orq[i])) / 10 for i in range(16)])), 4
     )
+
+    # ---- model-recs scoring kernel (ops/scoring.py score_topk) ---------------
+    # First-ever perf record for the third recommender hot path (VERDICT r4
+    # ask 2): fused predict-all + watched-mask + top-n over the catalog
+    # with the folded sigmoid head, replacing the reference's
+    # model.predict over every unwatched anime (model_recs.py:394).
+    from anime_recommendations_tpu.ops.scoring import score_topk
+
+    head_b = jax.device_put(jnp.asarray([2.3, -0.8], jnp.float32))
+    watched = np.zeros(17_560, bool)
+    watched[rng.choice(17_560, 500, replace=False)] = True
+    smask = jax.device_put(jnp.asarray(~watched))
+    score10 = lambda t, q: score_topk(t, q, head_b, 10, mask=smask)
+    # Serving case: one user per call over the 17,560-row catalog.
+    per = dev_keys("score_topk_catalog_q1", score10, Wad,
+                   qstack_for(W, 1, jnp.float32), 17_560, 4)
+    details["score_topk_catalog_q1_qps"] = round(1 / (per / 1e3))
+    # Batched case: 256 users per call (the offline score-every-user shape).
+    per = dev_keys("score_topk_catalog_q256", score10, Wad, qs256, 17_560, 4)
+    details["score_topk_catalog_q256_qps"] = round(256 / (per / 1e3))
+    # Exactness through the folded head + watched mask vs a numpy oracle.
+    sv, si = score_topk(Wad, jnp.asarray(W[:64]), head_b, 10, mask=smask)
+    si = np.asarray(si)
+    sc = 1.0 / (1.0 + np.exp(-(2.3 * (W[:64] @ W[:17_560].T) - 0.8)))
+    sc[:, watched] = -np.inf
+    sor = np.argsort(-sc, axis=1)[:, :10]
+    details["score_topk_overlap_vs_oracle"] = round(float(np.mean(
+        [len(set(si[i]) & set(sor[i])) / 10 for i in range(64)]
+    )), 4)
 
     # Retrieval exactness: kernel top-k vs numpy oracle overlap (should be
     # 1.0 for f32 — the parity metric from BASELINE.md).
@@ -500,7 +531,63 @@ def main() -> None:
     details["topk_trained_twostage_topr3_overlap"] = trained_overlap(
         ctk(st_sh, hot_q, 10, top_r=3)[1]
     )
-    del st_t, data_t, ds_t, user_n, st_sh
+    # Quantized / bf16 exactness on the SAME shuffled trained table
+    # (VERDICT r4 ask 6): int8's tie window is the widest (~1/127-per-
+    # element noise) so the clustered-table hazard is tested exactly where
+    # it's most likely; both paths at the batched q=256 depth and int8 also
+    # at the serving q=8 depth.
+    from anime_recommendations_tpu.ops.topk import ShuffledTable
+
+    st_q = ShuffledTable(
+        jax.device_put(quantize_rows(st_sh.table)), st_sh.perm, st_sh.inv
+    )
+    details["topk_trained_int8_vs_exact_overlap"] = trained_overlap(
+        ctk(st_q, hot_q, 10)[1]
+    )
+    ti8 = np.asarray(ctk(st_q, hot_q[:8], 10)[1])
+    details["topk_trained_int8_q8_vs_exact_overlap"] = round(float(np.mean(
+        [len(set(ti8[i]) & set(tix[i])) / 10 for i in range(8)]
+    )), 5)
+    st_b = ShuffledTable(
+        jax.device_put(st_sh.table.astype(jnp.bfloat16)), st_sh.perm, st_sh.inv
+    )
+    details["topk_trained_bf16_vs_exact_overlap"] = trained_overlap(
+        ctk(st_b, hot_q, 10)[1]
+    )
+    del st_t, data_t, ds_t, user_n, st_sh, st_q, st_b
+
+    # Full-scale trained-table check (VERDICT r4 ask 8): the headline
+    # retrieval numbers run at 350K rows but the trained-exactness evidence
+    # ran at 91,641; train a 350K-user table under the same zipf-skewed
+    # latent teacher and close the scale gap.
+    nu_f = 350_000
+    Ulat_f = trng.normal(size=(nu_f, lat)).astype(np.float32) / np.sqrt(lat)
+    zu_f = np.minimum(
+        (trng.pareto(1.1, t_rows) * 40).astype(np.int64), nu_f - 1
+    )
+    aff_f = np.einsum("ij,ij->i", Ulat_f[zu_f], Vlat[za])
+    y_f = 1.0 / (1.0 + np.exp(-(3.0 * aff_f + trng.normal(0, 0.35, t_rows))))
+    ds_f = RatingsDataset(
+        users=zu_f.astype(np.int32), anime=za.astype(np.int32),
+        ratings=y_f.astype(np.float32),
+    )
+    st_f = init_train_state(jax.random.PRNGKey(8), nu_f, na_t, d)
+    data_f = dl.stage(ds_f, batch, seed=2)
+    for ep in range(6):
+        st_f, tl, _, _ = dl.train_epoch(
+            st_f, data_f, jax.random.fold_in(key, 200 + ep), jnp.float32(3e-4),
+            batch, l2, sorted_scatter=True, optimizer="fused_adam",
+        )
+    float(tl[-1])
+    _, user_nf = normalized_tables(st_f.params)
+    user_nf = jax.device_put(user_nf)
+    hot_f = jnp.asarray(user_nf[:256])
+    exact_f = np.asarray(masked_topk(user_nf, hot_f, 10, exact_scan=True)[1])
+    got_f = np.asarray(ctk(shuffle_rows(user_nf, seed=13), hot_f, 10)[1])
+    details["topk_trained350k_twostage_vs_exact_overlap"] = round(float(
+        np.mean([len(set(got_f[i]) & set(exact_f[i])) / 10 for i in range(256)])
+    ), 5)
+    del st_f, data_f, ds_f, user_nf
 
     # ---- serve-path latency (Engine-level queries) ---------------------------
     # The API layer the reference planned but never built (config.yaml:14).
