@@ -201,6 +201,16 @@ class Catalog:
             "eng_version"
         )
 
+    @cached_property
+    def eng_first_pos(self) -> dict:
+        """eng_version -> FIRST catalog row position (the eng_lookup join
+        as a hash map over the cached column arrays)."""
+        out: dict = {}
+        for i, v in enumerate(self.eng_values):
+            if v not in out:
+                out[v] = i
+        return out
+
     # ---- genre / type machinery ----------------------------------------------
 
     def all_genres(self) -> list[str]:

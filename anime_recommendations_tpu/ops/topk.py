@@ -35,9 +35,12 @@ Changes vs round 3, each one removing whole passes:
     guard runs only in the final grid block (pl.when).
   * keys-only output: out_i writes dropped; index = block*Bk + group*G +
     (key & (G-1)) computed once on the pooled m candidates.
-Measured (one v5e chip, 350K x 128 f32, k=10, scan-harness device time):
-q=256 3.58 -> ~1.1 ms (~230K QPS, exact-oracle overlap 1.0), q=8 at the
-one-table-read DMA floors (f32 0.22 / bf16 0.15 / int8 ~0.1 ms).
+Measured (one v5e chip, 350K x 128, k=10, scan-harness device time;
+canonical record = the driver BENCH keys): q=256 3.58 -> ~1.1 ms f32
+(~233K QPS, exact-oracle overlap 1.0; measured floor analysis in
+NOTES_PERF round 5) / ~0.96 ms int8; q=8 near the one-table-read DMA
+floors — f32 ~0.25-0.28, bf16 ~0.17, int8 ~0.10 (after the round-5 qp_ex
+extraction-width fix; small-scan keys jitter +-0.05 across runs).
 
 ``exact_scan=True`` keeps the adversarially-exact single-stage kernel
 (HIGHEST-precision scan, running-threshold block skip): stage 1's truncated

@@ -65,26 +65,27 @@ def user_recs(
     counts = pd.Series(collected).value_counts()
 
     # First catalog row per cleaned name (reference get_anime_frame
-    # clean=True), prebuilt once on the catalog.
-    lookup = ctx.catalog.eng_lookup
-    names = [n_ for n_ in counts.index if n_ in lookup.index]
-    rows = lookup.loc[names]
+    # clean=True): the prebuilt eng_version -> position map + the cached
+    # column arrays replace a pandas .loc join per request.
+    first_pos = ctx.catalog.eng_first_pos
+    pairs = [(n_, first_pos[n_]) for n_ in counts.index if n_ in first_pos]
+    pos = np.asarray([p for _, p in pairs], np.int64)
+    cols = ctx.catalog.column_arrays
+    aid = cols["anime_id"][pos]
     frame = pd.DataFrame(
         {
-            "anime_id": rows["anime_id"].to_numpy(),
-            "Name": rows["Name"].to_numpy(),
-            "n_user_prefs": counts.loc[names].to_numpy(),
-            "Source": rows["Source"].to_numpy(),
-            "Genres": rows["Genres"].to_numpy(),
-            "Sypnopsis": [
-                ctx.catalog.synopsis_of(int(a)) for a in rows["anime_id"]
-            ],
-            "Episodes": rows["Episodes"].to_numpy(),
-            "Japanese name": rows["japanese_name"].to_numpy(),
-            "Studios": rows["Studios"].to_numpy(),
-            "Premiered": rows["Premiered"].to_numpy(),
-            "Score": rows["Score"].to_numpy(),
-            "Type": rows["Type"].to_numpy(),
+            "anime_id": aid,
+            "Name": cols["Name"][pos],
+            "n_user_prefs": counts.loc[[n_ for n_, _ in pairs]].to_numpy(),
+            "Source": cols["Source"][pos],
+            "Genres": cols["Genres"][pos],
+            "Sypnopsis": [ctx.catalog.synopsis_of(int(a)) for a in aid],
+            "Episodes": cols["Episodes"][pos],
+            "Japanese name": cols["japanese_name"][pos],
+            "Studios": cols["Studios"][pos],
+            "Premiered": cols["Premiered"][pos],
+            "Score": cols["Score"][pos],
+            "Type": cols["Type"][pos],
         }
     )
     if genres is not None:

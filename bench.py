@@ -554,6 +554,20 @@ def main() -> None:
     details["topk_trained_bf16_vs_exact_overlap"] = trained_overlap(
         ctk(st_b, hot_q, 10)[1]
     )
+    # Disambiguate bf16's gap vs the f32 oracle: storing rows at an 8-bit
+    # mantissa legitimately reorders ~1e-3-close scores. Against an
+    # exact-scan oracle over the SAME bf16 rows, the extraction itself
+    # should be ~lossless.
+    bx = np.asarray(masked_topk(
+        st_sh.table.astype(jnp.bfloat16), hot_q.astype(jnp.bfloat16), 10,
+        exact_scan=True,
+    )[1])
+    got_b = np.asarray(masked_topk(
+        st_sh.table.astype(jnp.bfloat16), hot_q.astype(jnp.bfloat16), 10
+    )[1])
+    details["topk_trained_bf16_vs_bf16exact_overlap"] = round(float(np.mean(
+        [len(set(got_b[i]) & set(bx[i])) / 10 for i in range(256)]
+    )), 5)
     del st_t, data_t, ds_t, user_n, st_sh, st_q, st_b
 
     # Full-scale trained-table check (VERDICT r4 ask 8): the headline
