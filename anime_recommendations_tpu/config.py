@@ -128,8 +128,11 @@ class ParallelConfig:
     # mesh) or "psum" (legacy dense block all-reduce, comparison baseline).
     routing: str = "alltoall"
     # All-to-all per-(sender, owner) slot count; 0 = auto (2x the uniform
-    # expectation). Lower = less wire per round, more overflow rounds under
-    # hot-row skew; the trainer logs measured rounds per sampled batch.
+    # expectation); -1 = measured per fit (plan_stats over sampled batches,
+    # +25%+8 margin — ~2x less exchange row movement on uniform batches,
+    # exact under overflow either way). Lower = less wire per round, more
+    # overflow rounds under hot-row skew; the trainer logs measured rounds
+    # per sampled batch.
     capacity: int = 0
 
 

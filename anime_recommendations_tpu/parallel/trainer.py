@@ -65,12 +65,20 @@ class ShardedTrainer(Trainer):
     # [B, D] all-reduce routing over 'model' (comparison baseline).
     routing: str = "alltoall"
     # Per-(sender, owner) all-to-all slot count; None = auto (2x the uniform
-    # expectation, routing.default_capacity). Lower = less wire per round
-    # but more overflow rounds under skew; see the plan-stats log.
+    # expectation, routing.default_capacity); -1 = MEASURED per fit: sample
+    # real batches through routing.plan_stats and size slots to the
+    # observed max bucket (+25% + 8 skew margin) — on uniform batches this
+    # halves the exchange's row movement vs the 2x-expectation default
+    # (SCALING.md round-5 headroom note), and a rare overflow still
+    # resolves exactly via an extra round. Lower = less wire per round but
+    # more overflow rounds under skew; see the plan-stats log.
     capacity: int | None = None
 
     def __post_init__(self):
         super().__post_init__()  # optimizer validation
+        self._auto_capacity = self.capacity == -1
+        if self._auto_capacity:
+            self.capacity = None  # placeholder until fit measures
         self.mesh = make_mesh(self.data_axis, self.model_axis)
         self._n_model = self.mesh.shape[MODEL_AXIS]
         self._n_data = self.mesh.shape["data"]
@@ -160,7 +168,44 @@ class ShardedTrainer(Trainer):
         state = init_train_state(rng, n_users_p, n_anime_p, self.embedding_size)
         return place_state(state, self.mesh, self.shard_anime, self.routing)
 
+    def _measure_capacity(self, train) -> int:
+        """Slot count from MEASURED per-owner buckets of sampled batches
+        (capacity=-1): max bucket over both tables' sampled device shards,
+        +25% + 8 margin, rounded up to 8. Exactness never depends on the
+        choice — an underestimate costs extra exchange rounds, which
+        route_grad_rows accounts exactly."""
+        import numpy as np
+
+        m = self._n_table_shards
+        bs = min(self.batch_size, max(len(train), 1))
+        b_dev = max(bs // self._n_batch_shards, 1)
+        rng = np.random.default_rng(self.seed)
+        n = len(train)
+        worst = 1
+        for ids in (train.users, train.anime):
+            for _ in range(min(8, max(n // bs, 1))):
+                sel = rng.choice(n, size=min(bs, n), replace=False)
+                _, mx, _ = rt.plan_stats(
+                    ids[sel][:b_dev], m, rt.default_capacity(b_dev, m)
+                )
+                worst = max(worst, int(mx))
+        cap = -(-(worst + worst // 4 + 8) // 8) * 8
+        return max(8, min(b_dev, cap))
+
     def fit(self, *args, **kwargs) -> TrainResult:
+        if self._auto_capacity and args and self.routing == "alltoall":
+            cap = self._measure_capacity(args[0])
+            if self.verbose:
+                self.log_fn(f"measured capacity: {cap} slots/(sender,owner)")
+            self.capacity = cap
+            self._step = ShardedTrainStep(
+                self.mesh,
+                l2_reg_factor=self.l2_reg_factor,
+                shard_anime=self.shard_anime,
+                routing=self.routing,
+                optimizer=self.optimizer,
+                capacity=cap,
+            )
         if self.verbose and args:
             self._log_plan_stats(args[0])
         result = super().fit(*args, **kwargs)

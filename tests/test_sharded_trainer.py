@@ -132,3 +132,29 @@ def test_sharded_device_loop_converges_with_shuffle():
     ).fit(train, holdout, n_users, n_anime)
     hist = result.history
     assert hist["loss"].iloc[-1] < hist["loss"].iloc[0] * 0.98
+
+
+def test_measured_capacity_matches_default_capacity_losses():
+    """capacity=-1 sizes exchange slots from plan_stats of sampled real
+    batches; the fitted loss curve must match the 2x-expectation default
+    exactly (slot count never changes semantics — overflow rounds are
+    accounted exactly)."""
+    train, holdout, n_users, n_anime = make_ds(seed=5)
+    kwargs = dict(
+        data_axis=2, model_axis=4, optimizer="fused_adam",
+        embedding_size=8, batch_size=512, epochs=2, patience=2,
+        start_lr=1e-3, max_lr=3e-3, min_lr=1e-3, rampup_epochs=1,
+        l2_reg_factor=1e-5, verbose=False, seed=11,
+    )
+    default = ShardedTrainer(**kwargs).fit(train, holdout, n_users, n_anime)
+    auto = ShardedTrainer(capacity=-1, **kwargs)
+    result = auto.fit(train, holdout, n_users, n_anime)
+    # The measured capacity is real and tighter than the 2x default for
+    # this uniform workload.
+    assert auto.capacity is not None and 8 <= auto.capacity
+    assert auto.capacity <= 2 * ((512 // 8 // 8) + 8) + 8
+    np.testing.assert_allclose(
+        default.history["loss"].to_numpy(),
+        result.history["loss"].to_numpy(),
+        rtol=1e-5,
+    )
