@@ -165,3 +165,60 @@ def test_route_grad_rows_staged_plus_overflow(staged_rounds):
     for i, g in enumerate(ids):
         oracle[g] += g_rows[i]
     np.testing.assert_allclose(got, oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_single_shard_identity_routing():
+    """m=1 (round-5 identity specialization): forward == table[ids] with
+    OOB -> zeros, the VJP == the dense scatter-add, and route_grad_rows
+    emits the same receipt slot layout the general loop produces (head-rank
+    order) so precomputed receipt orders stay valid."""
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    rng = np.random.default_rng(9)
+    n, d, b = 24, 4, 40
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    ids = rng.integers(0, n + 2, b).astype(np.int32)   # incl. OOB n / n+1
+    cot = rng.normal(size=(b, d)).astype(np.float32)
+    cap = routing.default_capacity(b, 1)
+    ex = _mapped_exchange(mesh, 1, cap)
+
+    out = np.asarray(ex(jnp.asarray(table), jnp.asarray(ids)))
+    oracle = np.where((ids < n)[:, None], table[np.clip(ids, 0, n - 1)], 0.0)
+    np.testing.assert_allclose(out, oracle, rtol=1e-6)
+
+    g = np.asarray(jax.grad(
+        lambda t: jnp.vdot(ex(t, jnp.asarray(ids)), jnp.asarray(cot))
+    )(jnp.asarray(table)))
+    goracle = np.zeros_like(table)
+    for i, gid in enumerate(ids):
+        if gid < n:
+            goracle[gid] += cot[i]
+    np.testing.assert_allclose(g, goracle, rtol=1e-5, atol=1e-6)
+
+    # route_grad_rows shortcut: receipts reconstruct the same dense grad,
+    # and the slot layout matches receipt_sort_order's expectation.
+    def f(ids_l, g_l):
+        oid, og, dense = routing.route_grad_rows(
+            ids_l, g_l, axis=AXES, n_shards=1, capacity=cap, r_local=n,
+        )
+        assert dense is None
+        order = routing.receipt_sort_order(
+            ids_l, axis=AXES, n_shards=1, capacity=cap, r_local=n,
+        )
+        return oid, og, order
+
+    oid, og, order = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(AXES), P(AXES, None)),
+        out_specs=(P(AXES), P(AXES, None), P(AXES)),
+    ))(jnp.asarray(ids), jnp.asarray(cot))
+    oid, og = np.asarray(oid), np.asarray(og)
+    dense_from_receipts = np.zeros_like(table)
+    for j in range(len(oid)):
+        if oid[j] < n:
+            dense_from_receipts[oid[j]] += og[j]
+    np.testing.assert_allclose(dense_from_receipts, goracle, rtol=1e-5,
+                               atol=1e-6)
+    # Sorted receipt ids are grouped ascending (drop markers n last) — the
+    # property the fused kernel's precomputed order relies on.
+    sorted_ids = oid[np.asarray(order)]
+    assert (np.diff(sorted_ids) >= 0).all()
