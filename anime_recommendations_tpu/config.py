@@ -106,7 +106,8 @@ class ModelConfig:
     def optimizer_display(self) -> str:
         """Artifact-metadata spelling (reference logs "Adam")."""
         return {
-            "adam": "Adam", "fused_adam": "Adam", "lazy_adam": "LazyAdam",
+            "adam": "Adam", "fused_adam": "Adam",
+            "fused_adam_bf16m": "Adam", "lazy_adam": "LazyAdam",
         }.get(self.optimizer, self.optimizer)
 
 

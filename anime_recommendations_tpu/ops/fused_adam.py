@@ -46,9 +46,32 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _sr_store(ref, val, sr: bool):
+    """Store a freshly-computed f32 moment into ``ref`` (f32 or bf16).
+
+    bf16 + ``sr``: STOCHASTIC rounding — add uniform random low-16 bits,
+    truncate. Round-to-nearest bf16 silently drops EMA increments smaller
+    than half an ulp of the running value (nu's (1-b2)=1e-3-relative
+    updates are below bf16's 2^-9 half-ulp, so nearest-rounded bf16 nu
+    FREEZES and the optimizer mis-scales — measured at reference scale:
+    val MSE 0.0348 vs 0.0213, teacher recall 0.17 vs 0.73). SR makes the
+    rounded EMA unbiased, so sub-ulp increments land with proportional
+    probability. Carry into the exponent is correct SR-up; sign-magnitude
+    addition rounds magnitudes symmetrically."""
+    if ref.dtype == jnp.bfloat16 and sr:
+        bits = jax.lax.bitcast_convert_type(val, jnp.uint32)
+        rb = jax.lax.bitcast_convert_type(
+            pltpu.prng_random_bits(val.shape), jnp.uint32
+        )
+        bits = (bits + (rb & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+        val = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    ref[:] = val.astype(ref.dtype)
+
+
 def _fused_adam_kernel(
     # scalar prefetch
     starts_ref,   # [nb+1] i32: sorted-batch offset where each block begins
+    seed_ref,     # [1] i32: per-step PRNG seed (bf16-moment SR; unused o/w)
     scal_ref,     # [8] f32: lr, bc1, bc2, eps, l2, b1, b2, (pad)
     # inputs
     w_ref,        # [R, D] table block
@@ -64,6 +87,7 @@ def _fused_adam_kernel(
     n_rows: int,
     highest: bool,
     has_dense: bool,
+    sr: bool,
 ):
     it = iter(refs)
     dense_ref = next(it) if has_dense else None
@@ -149,18 +173,24 @@ def _fused_adam_kernel(
     b2 = scal_ref[6]
 
     g = dscat + (2.0 * l2) * w
-    mu = b1 * mu_ref[:] + (1.0 - b1) * g
-    nu = b2 * nu_ref[:] + (1.0 - b2) * (g * g)
+    # Moments may be stored bf16 (half the moment HBM traffic — 6 -> 4
+    # f32-equivalent passes per table); the update math is always f32 and
+    # bf16 stores use stochastic rounding (_sr_store).
+    if sr:
+        pltpu.prng_seed(seed_ref[0], i)
+    mu = b1 * mu_ref[:].astype(jnp.float32) + (1.0 - b1) * g
+    nu = b2 * nu_ref[:].astype(jnp.float32) + (1.0 - b2) * (g * g)
     update = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
     w_out_ref[:] = w - lr * update
-    mu_out_ref[:] = mu
-    nu_out_ref[:] = nu
+    _sr_store(mu_out_ref, mu, sr)
+    _sr_store(nu_out_ref, nu, sr)
 
 
 def _fused_adam_gather_kernel(
     # scalar prefetch
     starts_ref,    # [nb+1] i32 sorted-batch offsets per block (update ids)
     gstarts_ref,   # [nb+1] i32 sorted-batch offsets per block (NEXT-batch ids)
+    seed_ref,      # [1] i32 per-step PRNG seed (bf16-moment SR)
     scal_ref,      # [8] f32
     # inputs
     w_ref, mu_ref, nu_ref, ids_ref, g_ref,
@@ -175,6 +205,7 @@ def _fused_adam_gather_kernel(
     d: int,
     n_rows: int,
     highest: bool,
+    sr: bool,
 ):
     """The fused Adam update (identical math to _fused_adam_kernel) PLUS a
     software-pipelined gather: while each table block is resident in VMEM
@@ -246,13 +277,15 @@ def _fused_adam_gather_kernel(
     b2 = scal_ref[6]
 
     g = dscat + (2.0 * l2) * w
-    mu = b1 * mu_ref[:] + (1.0 - b1) * g
-    nu = b2 * nu_ref[:] + (1.0 - b2) * (g * g)
+    if sr:
+        pltpu.prng_seed(seed_ref[0], i)
+    mu = b1 * mu_ref[:].astype(jnp.float32) + (1.0 - b1) * g
+    nu = b2 * nu_ref[:].astype(jnp.float32) + (1.0 - b2) * (g * g)
     update = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
     w_new = w - lr * update
     w_out_ref[:] = w_new
-    mu_out_ref[:] = mu
-    nu_out_ref[:] = nu
+    _sr_store(mu_out_ref, mu, sr)
+    _sr_store(nu_out_ref, nu, sr)
 
     # --- next-batch gather out of the freshly updated block ----------------
     # Same hi/lo bf16 one-hot trick as the scatter, transposed: each next-id
@@ -369,15 +402,16 @@ def sparse_adam_update(
         t = step.astype(jnp.float32)
         bc1 = 1.0 - jnp.float32(b1) ** t
         bc2 = 1.0 - jnp.float32(b2) ** t
-        mu2 = b1 * mu + (1.0 - b1) * dense
-        nu2 = b2 * nu + (1.0 - b2) * jnp.square(dense)
+        mu2 = (b1 * mu.astype(jnp.float32) + (1.0 - b1) * dense)
+        nu2 = (b2 * nu.astype(jnp.float32) + (1.0 - b2) * jnp.square(dense))
         w2 = w - lr * (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + jnp.float32(eps))
-        return w2, mu2, nu2, jnp.sum(jnp.square(w))
+        return (w2, mu2.astype(mu.dtype), nu2.astype(nu.dtype),
+                jnp.sum(jnp.square(w)))
 
-    def _sds(shape):
+    def _sds(shape, dtype=jnp.float32):
         if vma is None:
-            return jax.ShapeDtypeStruct(shape, jnp.float32)
-        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
+            return jax.ShapeDtypeStruct(shape, dtype)
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
 
     # No table padding: a pad would jnp.concatenate-copy w/mu/nu (6 extra
     # HBM passes at reference shapes). The ragged trailing block is handled
@@ -410,6 +444,10 @@ def sparse_adam_update(
     starts = jnp.searchsorted(ids_s[:b], bounds, side="left").astype(jnp.int32)
 
     t = step.astype(jnp.float32)
+    # bf16-moment stores use stochastic rounding on TPU (deterministic per
+    # step: the PRNG seeds from the step count + block index).
+    sr = (mu.dtype == jnp.bfloat16 or nu.dtype == jnp.bfloat16) and not interpret
+    seed = jnp.reshape(step.astype(jnp.int32), (1,))
     scal = jnp.stack([
         jnp.asarray(lr, jnp.float32),
         1.0 - jnp.float32(b1) ** t,
@@ -429,7 +467,7 @@ def sparse_adam_update(
             _fused_adam_kernel,
             block_rows=block_rows, chunk=chunk, d=d, n_rows=n,
             highest=(precision == "highest"),
-            has_dense=dense_grad is not None,
+            has_dense=dense_grad is not None, sr=sr,
         )
         in_specs = [
             table_spec, table_spec, table_spec,
@@ -441,7 +479,7 @@ def sparse_adam_update(
             in_specs.append(table_spec)
             extra.append(dense_grad)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nb,),
             in_specs=in_specs,
             out_specs=(
@@ -453,7 +491,8 @@ def sparse_adam_update(
             kernel,
             grid_spec=grid_spec,
             out_shape=(
-                _sds((n, d)), _sds((n, d)), _sds((n, d)), _sds((1, 1)),
+                _sds((n, d)), _sds((n, d), mu.dtype), _sds((n, d), nu.dtype),
+                _sds((1, 1)),
             ),
             # alias_tables=True updates w/mu/nu in place (tensor-input k
             # after the 2 scalar-prefetch args aliases output k). Inside a
@@ -465,10 +504,10 @@ def sparse_adam_update(
             # output side. The next_ids variant below removes the w copy
             # altogether by making this kernel the table's only consumer.
             input_output_aliases=(
-                {2: 0, 3: 1, 4: 2} if alias_tables else {}
+                {3: 0, 4: 1, 5: 2} if alias_tables else {}
             ),
             interpret=interpret,
-        )(starts, scal, w, mu, nu, ids_s.reshape(1, -1), g_s, *extra)
+        )(starts, seed, scal, w, mu, nu, ids_s.reshape(1, -1), g_s, *extra)
 
         return w2, mu2, nu2, sumsq[0, 0]
 
@@ -485,10 +524,10 @@ def sparse_adam_update(
     kernel = functools.partial(
         _fused_adam_gather_kernel,
         block_rows=block_rows, chunk=chunk, d=d, n_rows=n,
-        highest=(precision == "highest"),
+        highest=(precision == "highest"), sr=sr,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nb,),
         in_specs=[
             table_spec, table_spec, table_spec,
@@ -506,16 +545,16 @@ def sparse_adam_update(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            _sds((n, d)), _sds((n, d)), _sds((n, d)), _sds((1, 1)),
-            _sds((b2_pad, d)),
+            _sds((n, d)), _sds((n, d), mu.dtype), _sds((n, d), nu.dtype),
+            _sds((1, 1)), _sds((b2_pad, d)),
         ),
         # With the gather fused in, the tables' ONLY consumer is this call:
         # the must-alias is then free (no other live use to preserve).
         input_output_aliases=(
-            {3: 0, 4: 1, 5: 2} if alias_tables else {}
+            {4: 0, 5: 1, 6: 2} if alias_tables else {}
         ),
         interpret=interpret,
-    )(starts, gstarts, scal, w, mu, nu, ids_s.reshape(1, -1), g_s,
+    )(starts, gstarts, seed, scal, w, mu, nu, ids_s.reshape(1, -1), g_s,
       nids_p.reshape(1, -1))
 
     # Un-sort the gathered rows back to next_ids' original order.

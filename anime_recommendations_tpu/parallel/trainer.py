@@ -76,6 +76,12 @@ class ShardedTrainer(Trainer):
 
     def __post_init__(self):
         super().__post_init__()  # optimizer validation
+        if self.optimizer == "fused_adam_bf16m":
+            raise ValueError(
+                "fused_adam_bf16m is single-chip only for now: the routed "
+                "owner-side update consumes exchange receipts whose moment "
+                "storage is untested in bf16 — use fused_adam on meshes"
+            )
         self._auto_capacity = self.capacity == -1
         if self._auto_capacity:
             self.capacity = None  # placeholder until fit measures

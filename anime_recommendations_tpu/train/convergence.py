@@ -373,7 +373,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", default="artifacts/convergence")
     p.add_argument(
         "--optimizer", default="adam",
-        choices=["adam", "fused_adam", "lazy_adam"],
+        choices=["adam", "fused_adam", "fused_adam_bf16m", "lazy_adam"],
     )
     p.add_argument("--merge", default="cosine", choices=["cosine", "dot"])
     p.add_argument("--epochs", type=int, default=None,

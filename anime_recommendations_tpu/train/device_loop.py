@@ -132,7 +132,9 @@ def train_epoch(
 
         data = DeviceData(*(_shuf(x) for x in data))
 
-    if optimizer == "fused_adam":
+    if optimizer in ("fused_adam", "fused_adam_bf16m"):
+        # (bf16m: same code path — the moments' dtype in ``state`` drives
+        # the kernel's storage precision, train/trainer.cast_table_moments.)
         # Software-pipelined scan: step i's kernel updates the tables AND
         # gathers the rows step i+1 will consume, so the tables have a
         # single consumer per step (no copy-insertion tax — train/fused.py

@@ -71,6 +71,23 @@ def init_train_state(
     )
 
 
+def cast_table_moments(state: TrainState, dtype) -> TrainState:
+    """Store the EMBEDDING tables' Adam moments in ``dtype`` (bf16 for the
+    fused_adam_bf16m optimizer — halves the moment HBM traffic; the fused
+    kernel's update math stays f32). Scalar-head moments stay f32."""
+    opt = state.opt_state
+
+    def cast(p: TwoTowerParams) -> TwoTowerParams:
+        return p._replace(
+            user_emb=p.user_emb.astype(dtype),
+            anime_emb=p.anime_emb.astype(dtype),
+        )
+
+    return state._replace(
+        opt_state=opt._replace(mu=cast(opt.mu), nu=cast(opt.nu))
+    )
+
+
 @partial(jax.jit, donate_argnums=0, static_argnames=("l2_reg_factor", "merge"))
 def train_step(
     state: TrainState,
@@ -148,6 +165,16 @@ class Trainer:
     # "fused_adam" = dense-Adam SEMANTICS via one Pallas pass per table
     # (train/fused.py): same math as "adam" to ~2^-17 relative, at the
     # 6-HBM-pass bandwidth floor instead of 8+.
+    # "fused_adam_bf16m" = fused_adam with the embedding-table Adam
+    # moments STORED bf16 (update math stays f32): 6 -> 4 f32-equivalent
+    # HBM passes per table, measured 2.56 -> 1.85 ms/step on the isolated
+    # 350K two-table update (runs_full/exp_r5_bf16m.py). The stores use
+    # STOCHASTIC rounding on TPU (ops/fused_adam._sr_store): nearest-
+    # rounded bf16 silently freezes nu's 1e-3-relative EMA increments and
+    # measurably wrecks accuracy (reference-scale val MSE 0.0348 vs
+    # 0.0213); SR keeps the EMA unbiased (accuracy record:
+    # artifacts/convergence/result_reference_fused_adam_bf16m.json).
+    # Scalar-head moments stay f32. Single-chip path only.
     optimizer: str = "adam"
     # "cosine" = the reference's Dot(normalize=True) head (parity).
     # "dot" = diagnostic unnormalized-dot head (two_tower.dot_merge) for
@@ -155,11 +182,13 @@ class Trainer:
     merge: str = "cosine"
 
     def __post_init__(self):
-        if self.optimizer not in ("adam", "lazy_adam", "fused_adam"):
+        if self.optimizer not in ("adam", "lazy_adam", "fused_adam",
+                                  "fused_adam_bf16m"):
             raise ValueError(
                 f"unknown optimizer {self.optimizer!r}: choose 'adam' "
                 "(exact Keras parity), 'fused_adam' (same semantics, one "
-                "Pallas pass per table), or 'lazy_adam' (row-sparse)"
+                "Pallas pass per table), 'fused_adam_bf16m' (bf16-stored "
+                "table moments), or 'lazy_adam' (row-sparse)"
             )
         if self.merge not in ("cosine", "dot"):
             raise ValueError(f"unknown merge {self.merge!r}")
@@ -173,7 +202,10 @@ class Trainer:
     # ---- overridable backend hooks (ShardedTrainer overrides these) -----------
 
     def _init_state(self, rng, n_users: int, n_anime: int) -> TrainState:
-        return init_train_state(rng, n_users, n_anime, self.embedding_size)
+        state = init_train_state(rng, n_users, n_anime, self.embedding_size)
+        if self.optimizer == "fused_adam_bf16m":
+            state = cast_table_moments(state, jnp.bfloat16)
+        return state
 
     def _train_step(self, state, batch, lr):
         if self.optimizer == "lazy_adam":
@@ -183,7 +215,7 @@ class Trainer:
                 state, batch.users, batch.anime, batch.ratings,
                 batch.weights, lr, self.l2_reg_factor,
             )
-        if self.optimizer == "fused_adam":
+        if self.optimizer in ("fused_adam", "fused_adam_bf16m"):
             from anime_recommendations_tpu.train.fused import fused_train_step
 
             return fused_train_step(

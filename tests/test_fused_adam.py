@@ -192,3 +192,69 @@ def test_pipelined_gather_matches_direct(precision, tol):
         np.asarray(rows), np.asarray(w2[nids]), rtol=tol, atol=tol
     )
     assert not np.isnan(np.asarray(rows)).any()
+
+
+def test_bf16_moments_match_dense_with_bf16_rounding():
+    """mu/nu stored bf16 (fused_adam_bf16m): kernel outputs equal the dense
+    reference's f32 moments rounded to bf16, and the weight update stays
+    within the f32 update's neighborhood (one bf16 moment-read of rounding
+    on top of the fast-scatter tolerance)."""
+    w, mu, nu, ids, g = make_case(300, 32, 128, seed=4)
+    mu_b = mu.astype(jnp.bfloat16)
+    nu_b = nu.astype(jnp.bfloat16)
+    t, lr, l2 = 3, jnp.float32(1e-3), 1e-4
+    # Reference: identical math from the bf16-rounded starting moments.
+    w_ref, mu_ref, nu_ref = dense_reference(
+        w, mu_b.astype(jnp.float32), nu_b.astype(jnp.float32), ids, g, t,
+        lr, l2,
+    )
+    w2, mu2, nu2, sumsq = sparse_adam_update(
+        w, mu_b, nu_b, ids, g, jnp.asarray(t), lr, l2=l2, b1=B1, b2=B2,
+        eps=EPS, block_rows=64, chunk=32, precision="highest",
+    )
+    assert mu2.dtype == jnp.bfloat16 and nu2.dtype == jnp.bfloat16
+    # Equal to within one bf16 ulp (2^-8 relative): the kernel's one-hot-
+    # matmul scatter and XLA's scatter-add can differ by an f32 ulp, which
+    # flips the bf16 rounding at exact-boundary values.
+    np.testing.assert_allclose(
+        np.asarray(mu2, np.float32),
+        np.asarray(mu_ref.astype(jnp.bfloat16), np.float32),
+        rtol=1 / 128, atol=1e-9,
+    )
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w_ref), rtol=5e-5,
+                               atol=5e-6)
+    np.testing.assert_allclose(
+        float(sumsq), float(jnp.sum(jnp.square(w))), rtol=1e-5
+    )
+
+
+def test_trainer_fused_adam_bf16m_fits():
+    """End-to-end: the bf16-moment optimizer trains through the device-loop
+    epoch path, loss decreases, and the state carries bf16 table moments."""
+    from anime_recommendations_tpu.data.dataset import RatingsDataset
+    from anime_recommendations_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    n_users, n_anime, n = 300, 120, 40_000
+    U = rng.normal(size=(n_users, 4))
+    V = rng.normal(size=(n_anime, 4))
+    users = rng.integers(0, n_users, n)
+    anime = rng.integers(0, n_anime, n)
+    y = (1 / (1 + np.exp(-np.einsum("ij,ij->i", U[users], V[anime])))).astype(
+        np.float32
+    )
+    train = RatingsDataset(users[:36_000].astype(np.int32),
+                           anime[:36_000].astype(np.int32), y[:36_000])
+    holdout = RatingsDataset(users[36_000:].astype(np.int32),
+                             anime[36_000:].astype(np.int32), y[36_000:])
+    result = Trainer(
+        optimizer="fused_adam_bf16m", embedding_size=16, batch_size=2_000,
+        epochs=3, patience=3, start_lr=1e-3, max_lr=3e-3, min_lr=1e-3,
+        rampup_epochs=1, l2_reg_factor=1e-5, verbose=False,
+    ).fit(train, holdout, n_users, n_anime)
+    hist = result.history
+    assert hist["loss"].iloc[-1] < hist["loss"].iloc[0]
+    assert result.state.opt_state.mu.user_emb.dtype == jnp.bfloat16
+    assert result.state.opt_state.nu.anime_emb.dtype == jnp.bfloat16
+    # Scalar-head moments stay f32.
+    assert result.state.opt_state.mu.dense_w.dtype == jnp.float32
