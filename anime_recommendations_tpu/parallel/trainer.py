@@ -76,12 +76,13 @@ class ShardedTrainer(Trainer):
 
     def __post_init__(self):
         super().__post_init__()  # optimizer validation
-        if self.optimizer == "fused_adam_bf16m":
-            raise ValueError(
-                "fused_adam_bf16m is single-chip only for now: the routed "
-                "owner-side update consumes exchange receipts whose moment "
-                "storage is untested in bf16 — use fused_adam on meshes"
-            )
+        # bf16+stochastic-rounding moments ride the fused_adam machinery
+        # untouched: the moments' dtype in the placed STATE drives the
+        # kernel (ops/fused_adam._sr_store), so normalize the name here
+        # and cast at _init_state.
+        self._bf16_moments = self.optimizer == "fused_adam_bf16m"
+        if self._bf16_moments:
+            self.optimizer = "fused_adam"
         self._auto_capacity = self.capacity == -1
         if self._auto_capacity:
             self.capacity = None  # placeholder until fit measures
@@ -172,6 +173,13 @@ class ShardedTrainer(Trainer):
         # the per-shard table row counts).
         self._table_rows = (n_users_p, n_anime_p)
         state = init_train_state(rng, n_users_p, n_anime_p, self.embedding_size)
+        if self._bf16_moments:
+            from anime_recommendations_tpu.train.trainer import (
+                cast_table_moments,
+            )
+            import jax.numpy as jnp
+
+            state = cast_table_moments(state, jnp.bfloat16)
         return place_state(state, self.mesh, self.shard_anime, self.routing)
 
     def _measure_capacity(self, train) -> int:

@@ -174,7 +174,9 @@ class Trainer:
     # measurably wrecks accuracy (reference-scale val MSE 0.0348 vs
     # 0.0213); SR keeps the EMA unbiased (accuracy record:
     # artifacts/convergence/result_reference_fused_adam_bf16m.json).
-    # Scalar-head moments stay f32. Single-chip path only.
+    # Scalar-head moments stay f32. Also accepted by ShardedTrainer
+    # (the routed owner-side fused update adapts by the state's moment
+    # dtype).
     optimizer: str = "adam"
     # "cosine" = the reference's Dot(normalize=True) head (parity).
     # "dot" = diagnostic unnormalized-dot head (two_tower.dot_merge) for

@@ -158,3 +158,27 @@ def test_measured_capacity_matches_default_capacity_losses():
         result.history["loss"].to_numpy(),
         rtol=1e-5,
     )
+
+
+def test_sharded_bf16m_tracks_single_chip_bf16m():
+    """fused_adam_bf16m on the mesh: the routed owner-side update adapts to
+    the state's bf16 moment storage; loss curve tracks the single-chip
+    bf16m fit (both use the nearest-rounding interpret fallback on CPU)."""
+    import jax.numpy as jnp
+
+    train, holdout, n_users, n_anime = make_ds(seed=7)
+    kwargs = dict(
+        optimizer="fused_adam_bf16m", embedding_size=8, batch_size=1024,
+        epochs=3, patience=3, start_lr=1e-3, max_lr=3e-3, min_lr=1e-3,
+        rampup_epochs=1, l2_reg_factor=1e-5, verbose=False, seed=11,
+    )
+    single = Trainer(**kwargs).fit(train, holdout, n_users, n_anime)
+    trainer = ShardedTrainer(data_axis=2, model_axis=4, **kwargs)
+    sharded = trainer.fit(train, holdout, n_users, n_anime)
+    assert single.state.opt_state.mu.user_emb.dtype == jnp.bfloat16
+    assert sharded.state.opt_state.mu.user_emb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        single.history["loss"].to_numpy(),
+        sharded.history["loss"].to_numpy(),
+        rtol=2e-2,
+    )
