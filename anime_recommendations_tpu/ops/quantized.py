@@ -37,7 +37,7 @@ from anime_recommendations_tpu.ops.topk import (
     _round_up,
 )
 
-DEFAULT_BLOCK_ROWS = 4096   # int8 rows are 4x smaller; same ~0.5 MB/block
+DEFAULT_BLOCK_ROWS = 8192   # int8 rows are 4x smaller (1 MB/block); round-5 sweep
 
 
 class QuantizedTable(NamedTuple):
@@ -108,7 +108,7 @@ def quantized_topk(
     qp = _round_up(max(qn, 1), max(lane_pad, 32))
     while block_rows > 512 and block_rows * d > 2 * 1024 * 1024:
         block_rows //= 2
-    while block_rows > 512 and qp * block_rows * 4 > 4 * 1024 * 1024:
+    while block_rows > 512 and qp * block_rows * 4 > 8 * 1024 * 1024:
         block_rows //= 2
     # The grouped extraction scans n_groups * GROUP rows per block; a block
     # not a multiple of GROUP would leave a tail of rows that are matmul'd

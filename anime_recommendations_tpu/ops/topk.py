@@ -36,11 +36,12 @@ Changes vs round 3, each one removing whole passes:
   * keys-only output: out_i writes dropped; index = block*Bk + group*G +
     (key & (G-1)) computed once on the pooled m candidates.
 Measured (one v5e chip, 350K x 128, k=10, scan-harness device time;
-canonical record = the driver BENCH keys): q=256 3.58 -> ~1.1 ms f32
-(~233K QPS, exact-oracle overlap 1.0; measured floor analysis in
-NOTES_PERF round 5) / ~0.96 ms int8; q=8 near the one-table-read DMA
-floors — f32 ~0.25-0.28, bf16 ~0.17, int8 ~0.10 (after the round-5 qp_ex
-extraction-width fix; small-scan keys jitter +-0.05 across runs).
+canonical record = the driver BENCH keys): q=256 3.58 (r03) -> ~1.1 (r04)
+-> **~0.85 ms f32 / ~0.90 bf16 / ~0.95 int8** (~300K QPS, exact-oracle
+overlap 1.0) after the round-5 block-size sweep (DEFAULT_BLOCK_ROWS note
+above); q=8 near the one-table-read DMA floors — f32 ~0.25, bf16 ~0.19,
+int8 ~0.08-0.10 (after the round-5 qp_ex extraction-width fix; small-scan
+keys jitter up to ~0.1 ms across runs).
 
 ``exact_scan=True`` keeps the adversarially-exact single-stage kernel
 (HIGHEST-precision scan, running-threshold block skip): stage 1's truncated
@@ -68,7 +69,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30  # masked-score sentinel (finite: avoids inf-inf NaNs)
-DEFAULT_BLOCK_ROWS = 2048
+# Requested block size; the VMEM guards in masked_topk clamp per dtype —
+# f32 tables land on 4096-row blocks, bf16 keeps 8192. Measured round 5
+# (350K x 128, q=256 scan-net): f32 1.10 -> 0.845 ms going 2048 -> 4096,
+# bf16 1.13 -> 0.899 at 8192 — per-block fixed cost (extraction output
+# writes + pipeline bubbles) dominated the old 170-block grid.
+DEFAULT_BLOCK_ROWS = 8192
 
 GROUP = 512          # lanes per packed-extraction group (low bits carry lane)
 _INT_MIN = -(2 ** 31)  # int32 min as a python int (jnp constants get captured)
@@ -577,12 +583,18 @@ def masked_topk(
         block_rows -= block_rows % GROUP
     # VMEM guards: (a) the table block plus double-buffering must stay
     # small (bytes bound, so bf16 tables stream 2x the rows per step);
-    # (b) the extraction keeps ~3 live [qp, B] f32 surfaces, so large
-    # query batches shrink the block instead of OOMing scoped VMEM.
+    # (b) the extraction keeps ~2-3 live [qp, B] f32 surfaces, so large
+    # query batches shrink the block instead of OOMing scoped VMEM
+    # (8 MB per surface measured safe at q=256 x 8192 in round 5; the old
+    # 4 MB bound left 2x extraction throughput on the table).
     qp = _round_up(max(qn, 1), lane_pad)
     while block_rows > 512 and block_rows * d * itemsize > 2 * 1024 * 1024:
         block_rows //= 2
-    while block_rows > 512 and qp * block_rows * 4 > 4 * 1024 * 1024:
+    # The packed two-stage extraction holds ~2 [qp, B] surfaces (8 MB each
+    # measured safe); the exact_scan kernel's k-round max-extraction keeps
+    # more live copies, so it needs the tighter 2 MB bound.
+    surface_cap = (2 if exact_scan else 8) * 1024 * 1024
+    while block_rows > 512 and qp * block_rows * 4 > surface_cap:
         block_rows //= 2
     if k > block_rows:
         raise ValueError(f"k={k} must be <= block_rows={block_rows}")
