@@ -254,7 +254,34 @@ def main() -> None:
     details["train350k_sharded_fused_epoch_examples_per_sec"] = round(
         routed_rows / min(seg)
     )
-    del rstate, ru, ra, rr, rw, plans_u, plans_a
+    # Same routed production epoch with bf16+stochastic-rounding moments
+    # (the owner-side kernel adapts by the placed state's moment dtype;
+    # plans are dtype-agnostic and reused).
+    del rstate
+    bstate = place_state(
+        cast_table_moments(
+            init_train_state(jax.random.PRNGKey(5), n_users_full, n_anime, d),
+            jnp.bfloat16,
+        ),
+        mesh1, routing="alltoall",
+    )
+    bstate, bl, _, _, _, _ = repoch(
+        bstate, ru, ra, rr, rw, rev, kk, lr, plans_u=plans_u, plans_a=plans_a
+    )
+    float(bl[-1])
+    seg = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        bstate, bl, _, _, _, _ = repoch(
+            bstate, ru, ra, rr, rw, rev, jax.random.fold_in(kk, 20 + rep), lr,
+            plans_u=plans_u, plans_a=plans_a,
+        )
+        float(bl[-1])
+        seg.append(time.perf_counter() - t0)
+    details["train350k_sharded_bf16m_epoch_step_ms"] = round(
+        min(seg) / nb_r * 1e3, 3
+    )
+    del bstate, ru, ra, rr, rw, plans_u, plans_a
 
     # ---- retrieval top-k QPS (full-dataset scale) ----------------------------
     # Two measurement harnesses, both reported where they matter:

@@ -85,3 +85,40 @@ def test_bf16_retrieval_context_close_to_f32(built):
     np.testing.assert_allclose(
         a["Similarity"].to_numpy()[:3], b["Similarity"].to_numpy()[:3], atol=2e-2
     )
+
+
+def test_cpu_hosted_context_matches_default(ratings_frame, anime_catalog_frame,
+                                            synopses_frame):
+    """The serve host bench places the RecContext on the in-process CPU
+    device with interpret=False forced (bench.py serve_*_host_ms): results
+    must be identical to the default context's."""
+    import jax
+
+    from anime_recommendations_tpu.data.catalog import Catalog
+    from anime_recommendations_tpu.data.preprocess import preprocess_ratings
+    from anime_recommendations_tpu.data.vocab import build_vocab, encode_frame
+    from anime_recommendations_tpu.models import two_tower as tt
+    from anime_recommendations_tpu.recommend import RecContext, similar_anime
+
+    clean, _ = preprocess_ratings(ratings_frame, num_reviews=40)
+    vocab = build_vocab(clean)
+    encoded = encode_frame(clean, vocab)
+    catalog = Catalog.from_frames(anime_catalog_frame, synopses_frame)
+    params = tt.init_params(jax.random.PRNGKey(3), vocab.n_users,
+                            vocab.n_anime, 16)
+    cpu = jax.devices("cpu")[0]
+    default_ctx = RecContext.build(params, tt.init_bn_state(), vocab, catalog,
+                                   encoded)
+    with jax.default_device(cpu):
+        cpu_ctx = RecContext.build(
+            params, tt.init_bn_state(), vocab, catalog, encoded,
+            device=cpu, topk_kwargs={"interpret": False},
+        )
+        name = catalog.anime["Name"].iloc[3]
+        a = similar_anime(default_ctx, name, count=5)[0]
+        b = similar_anime(cpu_ctx, name, count=5)[0]
+    assert list(a["Name"]) == list(b["Name"])
+    import numpy as np
+
+    np.testing.assert_allclose(a["Similarity"].to_numpy(),
+                               b["Similarity"].to_numpy(), rtol=1e-5)
