@@ -119,3 +119,51 @@ def model_recs_batch(
             }
         )
     return out
+
+
+def similar_users_batch(
+    ctx: RecContext,
+    user_ids: list[int],
+    n_users: int = 10,
+    num_faves: int = 2,
+    TV_only: bool = True,
+    include_faves: bool = True,
+) -> list[dict]:
+    """Similar-users for many query users in one kernel call.
+
+    One fused cosine scan over the user table for ALL queries (per-query
+    self-exclusion as a kernel mask), then the vectorized favorite-anime
+    summaries (similar_users.get_fave_anime) per result row.
+    ``include_faves=False`` skips the favorites strings for id-only
+    workloads. Returns one record per query: {"query", "similar_users",
+    "similarities"[, "favorite_animes"]}. Unknown users raise KeyError
+    (same as the scalar path).
+    """
+    from anime_recommendations_tpu.recommend.similar_users import get_fave_anime
+
+    q_idx = np.asarray([ctx.user_index(int(u)) for u in user_ids], np.int32)
+    vals, idx = cosine_topk(
+        ctx.user_table(),
+        ctx.user_norm[q_idx],
+        k=min(n_users, ctx.vocab.n_users),
+        exclude=q_idx,
+        **ctx.topk_kwargs,
+    )
+    vals = np.asarray(vals)
+    idx = np.asarray(idx)
+    out = []
+    for row, uid in enumerate(user_ids):
+        keep = vals[row] > -1e29
+        sim_ids = ctx.vocab.user_ids[idx[row][keep]]
+        rec = {
+            "query": int(uid),
+            "similar_users": [int(s) for s in sim_ids],
+            "similarities": vals[row][keep].tolist(),
+        }
+        if include_faves:
+            rec["favorite_animes"] = [
+                get_fave_anime(ctx, int(s), num_faves, TV_only)
+                for s in sim_ids
+            ]
+        out.append(rec)
+    return out

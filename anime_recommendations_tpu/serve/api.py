@@ -13,6 +13,9 @@ web framework needed):
     GET /user_prefs?user_id=...
     GET /user_recs?user_id=...&k=10
     GET /model_recs?user_id=...&k=10[&types=...]
+    GET /similar_anime_batch?names=a|b|c&k=10
+    GET /model_recs_batch?user_ids=1,2,3&k=10
+    GET /similar_users_batch?user_ids=1,2,3&k=10[&faves=0]
 """
 
 from __future__ import annotations
@@ -131,6 +134,17 @@ class Engine:
         return model_recs_batch(self.ctx, user_ids, n_recs=k, types=types,
                                 genres=genres)
 
+    def similar_users_batch(self, user_ids: list[int], k: int = 10,
+                            include_faves: bool = True):
+        from anime_recommendations_tpu.recommend.batch import similar_users_batch
+
+        return similar_users_batch(
+            self.ctx, user_ids, n_users=k,
+            num_faves=self.cfg.users.num_faves,
+            TV_only=self.cfg.users.TV_only,
+            include_faves=include_faves,
+        )
+
 
 def _make_handler(engine: Engine):
     class Handler(BaseHTTPRequestHandler):
@@ -195,6 +209,12 @@ def _make_handler(engine: Engine):
                     [int(u) for u in q["user_ids"].split(",")],
                     k=int(q.get("k", 10)),
                     types=listy("types"), genres=listy("genres"),
+                )
+            if path == "/similar_users_batch":
+                return engine.similar_users_batch(
+                    [int(u) for u in q["user_ids"].split(",")],
+                    k=int(q.get("k", 10)),
+                    include_faves=q.get("faves", "1") not in ("0", "false"),
                 )
             raise KeyError(path)
 

@@ -40,3 +40,21 @@ def test_model_recs_batch_matches_scalar(ctx):  # noqa: F811
 def test_batch_unknown_user_raises(ctx):  # noqa: F811
     with pytest.raises(KeyError):
         model_recs_batch(ctx, [999999999], n_recs=3)
+
+
+def test_similar_users_batch_matches_scalar(ctx):  # noqa: F811
+    from anime_recommendations_tpu.recommend.batch import similar_users_batch
+    from anime_recommendations_tpu.recommend.similar_users import similar_users
+
+    uids = [int(ctx.vocab.user_ids[i]) for i in (0, 3, 7)]
+    batch = similar_users_batch(ctx, uids, n_users=5)
+    for rec, uid in zip(batch, uids):
+        frame, _, _ = similar_users(ctx, uid, n_users=5)
+        assert rec["similar_users"] == frame["similar_users"].tolist()
+        np.testing.assert_allclose(
+            rec["similarities"], frame["similarity"].to_numpy(), rtol=1e-4
+        )
+        assert rec["favorite_animes"] == frame["favorite_animes"].tolist()
+        assert uid not in rec["similar_users"]  # self excluded
+    slim = similar_users_batch(ctx, uids, n_users=5, include_faves=False)
+    assert "favorite_animes" not in slim[0]
