@@ -226,11 +226,19 @@ def _packed_topk_kernel(
         # tile); the extraction is float work, so it runs on the REAL
         # qp_ex <= Qp rows only — at q=8 this is 4x less VPU surface.
         acc = acc[:qp_ex]
-        scores = (
-            acc.astype(jnp.float32)
-            * qscale_ref[0, :qp_ex][:, None]
-            * wscale_ref[0, :][None, :]
-        )
+        qsc = qscale_ref[0, :qp_ex][:, None]
+        if use_head:
+            # The head needs TRUE cosines (sigmoid is per-value, not just
+            # an ordering): full de-scale before the affine-sigmoid.
+            scores = acc.astype(jnp.float32) * qsc * wscale_ref[0, :][None, :]
+        else:
+            # Stage 1 only needs per-query ORDER: qscale is constant
+            # within a query row, so fold it into the bias instead of a
+            # second full-surface multiply — s2 = acc*wscale + 2/qscale
+            # = (cos + 2)/qscale, which is positive exactly when cos > -2
+            # (the same bias-trick contract) and row-monotone in cos.
+            scores = acc.astype(jnp.float32) * wscale_ref[0, :][None, :]
+            bias = jnp.float32(_BIAS) / qsc
     else:
         scores = jax.lax.dot_general(
             q_ref[:], w_ref[:],
@@ -247,7 +255,10 @@ def _packed_topk_kernel(
     # The grid covers only FULL blocks (the caller scores the < block_rows
     # ragged tail densely in XLA and merges its candidates into the pool),
     # so the kernel is branch-free: no row-bound pass, no pl.when regions.
-    s2 = scores + jnp.float32(_BIAS)
+    if quantized and not use_head:
+        s2 = scores + bias
+    else:
+        s2 = scores + jnp.float32(_BIAS)
     if has_mask or has_excl:
         valid = None
         if has_mask:
