@@ -1,0 +1,110 @@
+"""IVF clustered retrieval (ops/ivf.py): recall, exactness, spill, shapes.
+
+The IVF path serves catalogs beyond the exact scan's latency budget
+(NOTES_PERF round 5); these tests pin its contracts on CPU: probe-all is
+exact by construction, clustered data gives high recall at small probe
+counts, bucket overflow spills (never drops) rows, and the query-chunk
+padding never leaks into results.
+"""
+
+import numpy as np
+import pytest
+
+from anime_recommendations_tpu.ops.ivf import build_ivf, ivf_topk
+
+
+def _blob_table(rng, n=4096, d=32, n_centers=64, noise=0.15):
+    centers = rng.normal(size=(n_centers, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = centers[rng.integers(0, n_centers, n)] + noise * rng.normal(size=(n, d))
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    return rows.astype(np.float32)
+
+
+def _recall(ids, oracle):
+    return np.mean(
+        [len(set(ids[i]) & set(oracle[i])) / oracle.shape[1]
+         for i in range(len(ids))]
+    )
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    rng = np.random.default_rng(11)
+    W = _blob_table(rng)
+    index = build_ivf(W, n_clusters=64, iters=8, seed=3)
+    q = W[rng.integers(0, len(W), 50)]
+    oracle = np.argsort(-(q @ W.T), axis=1)[:, :10]
+    return W, index, q, oracle
+
+
+def test_recall_on_clustered_data(blobs):
+    _, index, q, oracle = blobs
+    _, ids = ivf_topk(index, q, k=10, probes=8)
+    assert _recall(np.asarray(ids), oracle) >= 0.95
+
+
+def test_probe_all_is_exact(blobs):
+    W, index, q, _ = blobs
+    vals, _ = ivf_topk(index, q, k=10, probes=index.n_clusters)
+    oracle_vals = -np.sort(-(q @ W.T), axis=1)[:, :10]
+    np.testing.assert_allclose(np.asarray(vals), oracle_vals, atol=1e-5)
+
+
+def test_every_row_is_bucketed_or_spilled(blobs):
+    _, index, _, _ = blobs
+    ids = np.concatenate(
+        [np.asarray(index.buckets).ravel(), np.asarray(index.spill)]
+    )
+    ids = ids[ids >= 0]
+    assert len(ids) == len(index.table)
+    assert len(np.unique(ids)) == len(index.table)
+
+
+def test_spill_preserves_exactness_under_tiny_caps():
+    rng = np.random.default_rng(5)
+    W = _blob_table(rng, n=1024, d=16, n_centers=8)
+    # cap_factor 0.5 forces most rows of each cluster into the spill list.
+    index = build_ivf(W, n_clusters=16, iters=4, seed=1, cap_factor=0.5)
+    assert int(np.sum(np.asarray(index.spill) >= 0)) > 0
+    q = W[:20]
+    vals, _ = ivf_topk(index, q, k=5, probes=16)
+    oracle_vals = -np.sort(-(q @ W.T), axis=1)[:, :5]
+    np.testing.assert_allclose(np.asarray(vals), oracle_vals, atol=1e-5)
+
+
+def test_exclude_drops_self(blobs):
+    W, index, _, _ = blobs
+    qi = np.arange(8)
+    _, ids = ivf_topk(
+        index, W[qi], k=10, probes=index.n_clusters, exclude=qi.astype(np.int32)
+    )
+    ids = np.asarray(ids)
+    for r, i in enumerate(qi):
+        assert i not in ids[r]
+
+
+def test_single_query_squeezes(blobs):
+    _, index, q, _ = blobs
+    vals, ids = ivf_topk(index, q[0], k=10, probes=8)
+    assert vals.shape == (10,) and ids.shape == (10,)
+
+
+def test_query_chunk_padding_is_inert(blobs):
+    _, index, q, _ = blobs
+    # 33 queries with chunk 16 forces a padded final chunk; results must
+    # equal the unchunked run exactly.
+    v1, i1 = ivf_topk(index, q[:33], k=10, probes=8, query_chunk=16)
+    v2, i2 = ivf_topk(index, q[:33], k=10, probes=8, query_chunk=33)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_fewer_live_candidates_than_k_pads_with_dead_slots():
+    rng = np.random.default_rng(9)
+    W = _blob_table(rng, n=256, d=16, n_centers=4)
+    index = build_ivf(W, n_clusters=64, iters=4, seed=2, cap_factor=1.0)
+    # probes=1 over a tiny bucket can expose < k live candidates.
+    vals, ids = ivf_topk(index, W[0], k=200, probes=1)
+    dead = ~np.isfinite(np.asarray(vals))
+    assert np.all(np.asarray(ids)[dead] == -1)
