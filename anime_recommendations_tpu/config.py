@@ -145,6 +145,12 @@ class SimilarityConfig:
     # traffic, ~1e-3 score error), "int8" (4x less scan traffic; exact
     # f32 rescore of a candidate pool — ops/quantized.py).
     retrieval_dtype: str = "f32"
+    # Approximate retrieval: "off" (exact scans — right at reference
+    # scale) or "ivf" (cluster-probed sublinear scans, ops/ivf.py — for
+    # catalogs beyond ~1M rows; recall set by ann_probes, composes with
+    # retrieval_dtype="int8" for a quantized candidate gather).
+    ann: str = "off"
+    ann_probes: int = 16
     anime_query: str = "YuuYuu☆Hakusho!"
     random_anime: bool = False
     a_query_number: int = 10

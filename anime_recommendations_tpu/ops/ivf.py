@@ -52,12 +52,20 @@ class IVFIndex(NamedTuple):
     spill     : [S] int32 overflow row ids (-1 padded to a lane multiple;
                 appended to every candidate pool — exactness ballast)
     table     : [N, D]  the original rows, used for exact rescore
+    q8/scale  : optional int8 rows + per-row de-scale (storage="int8"):
+                the candidate gather — the batched query path's dominant
+                HBM cost, random row gathers run ~6x slower per byte than
+                streaming on this chip — reads 4x fewer bytes; a slim
+                top-max(4k, k+8) pool per query is then rescored from the
+                exact f32 rows (the ops/quantized.py recipe).
     """
 
     centroids: jax.Array
     buckets: jax.Array
     spill: jax.Array
     table: jax.Array
+    q8: jax.Array | None = None
+    scale: jax.Array | None = None
 
     @property
     def n_clusters(self) -> int:
@@ -120,14 +128,19 @@ def build_ivf(
     seed: int = 0,
     cap_factor: float = 3.0,
     chunk: int = 16_384,
+    storage: str = "f32",
 ) -> IVFIndex:
     """Build an IVF index (offline; one host sync for the bucket layout).
 
     cap_factor bounds bucket memory at cap = cap_factor * N/C rows
     (rounded up to 8); cluster members beyond cap land in the shared
     spill list, which every query scans — skewed clusterings cost
-    latency, never recall of bucketed rows.
+    latency, never recall of bucketed rows. storage="int8" additionally
+    keeps a symmetric per-row int8 copy for the candidate gather (4x less
+    gather traffic; candidates are still rescored from the exact rows).
     """
+    if storage not in ("f32", "int8"):
+        raise ValueError(f"storage must be 'f32' or 'int8', got {storage!r}")
     table = jnp.asarray(table)
     n, d = table.shape
     if n_clusters is None:
@@ -163,32 +176,48 @@ def build_ivf(
     s_pad = int(np.ceil(max(len(spill_ids), 1) / 8) * 8)
     spill_arr = np.full(s_pad, -1, np.int32)
     spill_arr[: len(spill_ids)] = spill_ids
+    q8 = scale = None
+    if storage == "int8":
+        from anime_recommendations_tpu.ops.quantized import quantize_rows
+
+        qt = quantize_rows(table)
+        q8, scale = qt.q, qt.scale
     return IVFIndex(
         centroids=cent,
         buckets=jnp.asarray(buckets),
         spill=jnp.asarray(spill_arr),
         table=table,
+        q8=q8,
+        scale=scale,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "probes", "query_chunk")
+    jax.jit, static_argnames=("k", "probes", "query_chunk", "use_head")
 )
 def ivf_topk(
     index: IVFIndex,
     queries: jax.Array,
     k: int,
     probes: int = 8,
+    mask: jax.Array | None = None,
     exclude: jax.Array | None = None,
+    head: jax.Array | None = None,
+    use_head: bool = False,
     query_chunk: int = 16,
 ) -> tuple[jax.Array, jax.Array]:
     """Approximate cosine top-k: probe top-`probes` clusters, rescore exact.
 
     Same return contract as ops.topk.masked_topk ([Q, k] scores and row
-    ids); `exclude` optionally drops one row id per query (self-match).
-    Recall is a function of `probes` — the bench records it; probing all
-    C clusters is exact by construction (every row is in a bucket or the
-    spill list).
+    ids); `mask` is an optional full-vocab [N] bool validity mask (applied
+    to gathered candidates), `exclude` optionally drops one row id per
+    query (self-match). With ``use_head`` the returned scores are
+    sigmoid(alpha*cos + beta) (the folded model head, ops/scoring.py);
+    the probe and pool stages order by sign(alpha)*cos so a negative
+    slope still probes the right end of the cosine axis. Recall is a
+    function of `probes` — the bench records it; probing all C clusters
+    is exact by construction (every row is in a bucket or the spill
+    list).
     """
     squeeze = queries.ndim == 1
     if squeeze:
@@ -206,20 +235,53 @@ def ivf_topk(
     nb = (qn + pad) // qc
     cap = index.bucket_cap
     spill = index.spill
+    # Probe/pool stages order by cosine; with a folded head the final
+    # score is sigmoid(alpha*cos + beta), monotone in sign(alpha)*cos, so
+    # a negative alpha must probe the OTHER end of the cosine axis.
+    if use_head:
+        if head is None:
+            raise ValueError("use_head=True requires head=(alpha, beta)")
+        h = jnp.asarray(head, jnp.float32).reshape(2)
+        sgn = jnp.where(h[0] >= 0, 1.0, -1.0)
+    else:
+        sgn = jnp.float32(1.0)
 
     def one_chunk(args):
         q, e = args                                     # [qc, D], [qc]
-        cs = q @ index.centroids.T                      # [qc, C]
+        cs = sgn * (q @ index.centroids.T)              # [qc, C]
         _, pid = jax.lax.top_k(cs, probes)              # [qc, p]
         cand = index.buckets[pid].reshape(qc, probes * cap)
         cand = jnp.concatenate(
             [cand, jnp.broadcast_to(spill, (qc, spill.shape[0]))], axis=1
         )                                               # [qc, M]
         alive = (cand >= 0) & (cand != e[:, None])
-        rows = index.table[jnp.maximum(cand, 0)]        # [qc, M, D]
+        safe = jnp.maximum(cand, 0)
+        if mask is not None:
+            alive &= jnp.asarray(mask, bool)[safe]
+        if index.q8 is not None:
+            # int8 stage 1: gather 4x fewer bytes, score with the int8 MXU
+            # path (per-row symmetric de-scale, ops/quantized.py noise
+            # model), keep a slim top-m pool, rescore it from exact rows.
+            q_abs = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12)
+            q_sc = (q_abs / 127.0).astype(jnp.float32)
+            q_i8 = jnp.round(q / q_sc[:, None]).astype(jnp.int8)
+            rows8 = index.q8[safe]                      # [qc, M, D] int8
+            s1 = jnp.einsum(
+                "qd,qmd->qm", q_i8, rows8, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            s1 = s1 * q_sc[:, None] * index.scale[safe] * sgn
+            s1 = jnp.where(alive, s1, -jnp.inf)
+            m_pool = min(max(4 * k, k + 8), s1.shape[1])
+            _, loc1 = jax.lax.top_k(s1, m_pool)
+            cand = jnp.take_along_axis(cand, loc1, axis=1)   # [qc, m]
+            alive = jnp.take_along_axis(alive, loc1, axis=1)
+            safe = jnp.maximum(cand, 0)
+        rows = index.table[safe]                        # [qc, M|m, D]
         scores = jnp.einsum(
             "qd,qmd->qm", q, rows, preferred_element_type=jnp.float32
         )
+        if use_head:
+            scores = jax.nn.sigmoid(h[0] * scores + h[1])
         scores = jnp.where(alive, scores, -jnp.inf)
         if scores.shape[1] < k:  # pool smaller than k: pad dead slots
             short = k - scores.shape[1]

@@ -788,7 +788,7 @@ def shuffle_rows(table: jax.Array, seed: int = 0) -> ShuffledTable:
     jax.jit,
     static_argnames=(
         "k", "use_head", "block_rows", "interpret", "lane_pad", "exact_scan",
-        "top_r", "m",
+        "top_r", "m", "probes",
     ),
 )
 def _dispatch_topk(
@@ -806,15 +806,31 @@ def _dispatch_topk(
     exact_scan: bool = False,
     top_r: int | None = None,
     m: int | None = None,
+    probes: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One jitted entry for every retrieval flavor: the table's pytree
     STRUCTURE (plain array / QuantizedTable / ShuffledTable wrapping
-    either) is static under jit, so the shuffle translation, the inner
-    two-stage call and the result unpermute all compile into a single
-    program — one dispatch per request instead of a chain of eager gathers
-    (which dominated serve-path host latency, and on a remote-attached TPU
-    each paid a tunnel round-trip)."""
+    either, or an IVFIndex for beyond-catalog-scale tables) is static
+    under jit, so the shuffle translation, the inner two-stage call and
+    the result unpermute all compile into a single program — one dispatch
+    per request instead of a chain of eager gathers (which dominated
+    serve-path host latency, and on a remote-attached TPU each paid a
+    tunnel round-trip)."""
+    from anime_recommendations_tpu.ops.ivf import IVFIndex, ivf_topk
     from anime_recommendations_tpu.ops.quantized import QuantizedTable, quantized_topk
+
+    if isinstance(table, IVFIndex):
+        if exact_scan:
+            return masked_topk(
+                table.table, queries, k, mask=mask, exclude=exclude,
+                head=head, use_head=use_head,
+                interpret=interpret, lane_pad=lane_pad, exact_scan=True,
+            )
+        return ivf_topk(
+            table, queries, k,
+            probes=table.n_clusters if probes is None else probes,
+            mask=mask, exclude=exclude, head=head, use_head=use_head,
+        )
 
     common = dict(
         interpret=interpret, lane_pad=lane_pad, use_head=use_head, head=head,

@@ -288,6 +288,8 @@ class PipelineRunner:
             self._ctx = RecContext.build(
                 params, bn, vocab, catalog, encoded,
                 retrieval_dtype=None if dt in ("f32", "float32") else dt,
+                ann=self.cfg.similarity.ann,
+                ann_probes=self.cfg.similarity.ann_probes,
             )
         return self._ctx
 

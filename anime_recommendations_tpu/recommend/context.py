@@ -75,12 +75,21 @@ class RecContext:
         shuffle_tables: bool = True,
         device=None,
         topk_kwargs: dict | None = None,
+        ann: str = "off",
+        ann_probes: int = 16,
     ) -> "RecContext":
         """Retrieval numerics: None/"f32" = exact-oracle scans;
         "bf16"/jnp.bfloat16 halves scan HBM traffic at ~1e-3 score error;
         "int8" stores tables quantized (4x less scan traffic) and rescores
         a candidate pool in exact f32 (ops/quantized.py) — final scores and
         near-always the exact top-k match f32.
+
+        ``ann="ivf"`` swaps the scan handles for IVF cluster indexes
+        (ops/ivf.py): queries probe the top-``ann_probes`` clusters and
+        exact-rescore just those rows — the sublinear serving path for
+        catalogs beyond ~1M rows, where even the int8 full scan exceeds
+        the latency budget. Approximate (recall set by ann_probes); the
+        default exact scans remain right for reference-scale tables.
 
         ``shuffle_tables`` (default True) stores the SCAN copies in a
         fixed random physical row order (ops/topk.shuffle_rows): trained
@@ -120,8 +129,22 @@ class RecContext:
                 jax.device_put(x)
             )
 
+        if ann not in ("off", "ivf"):
+            raise ValueError(f"ann must be 'off' or 'ivf', got {ann!r}")
+
         def scan_handle(norm, seed):
             """(scan_handle, quantized_inner_or_None) for one table."""
+            if ann == "ivf":
+                from anime_recommendations_tpu.ops.ivf import build_ivf
+
+                # IVF gathers rows by explicit id, so the clustered-rows
+                # extraction hazard (and the shuffle that defuses it)
+                # doesn't apply; int8 storage reuses the quantized recipe.
+                index = build_ivf(
+                    norm, seed=seed,
+                    storage="int8" if int8 else "f32",
+                )
+                return index, None
             if shuffle_tables:
                 st = shuffle_rows(norm, seed=seed)
                 if int8:
@@ -135,6 +158,9 @@ class RecContext:
 
         anime_scan, anime_qt = scan_handle(anime_norm, seed=11)
         user_scan, user_qt = scan_handle(user_norm, seed=13)
+        topk_kwargs = dict(topk_kwargs or {})
+        if ann == "ivf":
+            topk_kwargs.setdefault("probes", ann_probes)
 
         return cls(
             vocab=vocab,
@@ -147,7 +173,7 @@ class RecContext:
             user_qt=user_qt,
             anime_scan=put(anime_scan),
             user_scan=put(user_scan),
-            topk_kwargs=dict(topk_kwargs or {}),
+            topk_kwargs=topk_kwargs,
         )
 
     # ---- retrieval-table accessors (array / QuantizedTable / ShuffledTable) ----

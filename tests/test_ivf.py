@@ -3,10 +3,14 @@
 The IVF path serves catalogs beyond the exact scan's latency budget
 (NOTES_PERF round 5); these tests pin its contracts on CPU: probe-all is
 exact by construction, clustered data gives high recall at small probe
-counts, bucket overflow spills (never drops) rows, and the query-chunk
-padding never leaks into results.
+counts, bucket overflow spills (never drops) rows, the query-chunk
+padding never leaks into results, and an ann="ivf" RecContext at
+probe-all reproduces the exact context's recommendations through every
+recommender (incl. the folded-head model_recs path).
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -73,6 +77,21 @@ def test_spill_preserves_exactness_under_tiny_caps():
     np.testing.assert_allclose(np.asarray(vals), oracle_vals, atol=1e-5)
 
 
+def test_int8_storage_matches_f32_path(blobs):
+    W, _, q, oracle = blobs
+    index8 = build_ivf(W, n_clusters=64, iters=8, seed=3, storage="int8")
+    assert index8.q8 is not None and index8.q8.dtype == np.int8
+    # probe-all: the int8 stage-1 pool (top max(4k, k+8)) is rescored from
+    # exact rows, so the true top-k survives the quantization noise on
+    # well-separated data.
+    vals, ids = ivf_topk(index8, q, k=10, probes=index8.n_clusters)
+    oracle_vals = -np.sort(-(q @ W.T), axis=1)[:, :10]
+    np.testing.assert_allclose(np.asarray(vals), oracle_vals, atol=1e-5)
+    # probed recall matches the f32-storage path's ballpark.
+    _, ids_p = ivf_topk(index8, q, k=10, probes=8)
+    assert _recall(np.asarray(ids_p), oracle) >= 0.95
+
+
 def test_exclude_drops_self(blobs):
     W, index, _, _ = blobs
     qi = np.arange(8)
@@ -98,6 +117,73 @@ def test_query_chunk_padding_is_inert(blobs):
     v2, i2 = ivf_topk(index, q[:33], k=10, probes=8, query_chunk=33)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_headed_scoring_matches_oracle_for_both_slopes(blobs):
+    W, index, q, _ = blobs
+    for alpha in (1.7, -1.7):
+        head = jnp.asarray([alpha, 0.3], jnp.float32)
+        vals, ids = ivf_topk(
+            index, q[:16], k=5, probes=index.n_clusters, head=head,
+            use_head=True,
+        )
+        sc = 1.0 / (1.0 + np.exp(-(alpha * (q[:16] @ W.T) + 0.3)))
+        oracle_vals = -np.sort(-sc, axis=1)[:, :5]
+        np.testing.assert_allclose(
+            np.asarray(vals), oracle_vals, atol=1e-5,
+            err_msg=f"alpha={alpha}",
+        )
+
+
+def test_ivf_context_matches_exact_recommendations(
+    ratings_frame, anime_catalog_frame, synopses_frame
+):
+    from anime_recommendations_tpu.data.catalog import Catalog
+    from anime_recommendations_tpu.data.preprocess import preprocess_ratings
+    from anime_recommendations_tpu.data.vocab import build_vocab, encode_frame
+    from anime_recommendations_tpu.models import two_tower as tt
+    from anime_recommendations_tpu.recommend import (
+        RecContext, model_recs, similar_anime, similar_users,
+    )
+
+    clean, _ = preprocess_ratings(ratings_frame, num_reviews=50)
+    vocab = build_vocab(clean)
+    encoded = encode_frame(clean, vocab)
+    catalog = Catalog.from_frames(anime_catalog_frame, synopses_frame)
+    params = tt.init_params(
+        jax.random.PRNGKey(11), vocab.n_users, vocab.n_anime, embedding_size=32
+    )
+    params = params._replace(dense_w=jnp.float32(2.0), dense_b=jnp.float32(0.1))
+    bn = tt.BNState(moving_mean=jnp.float32(0.05), moving_var=jnp.float32(0.8))
+    ctx = RecContext.build(params, bn, vocab, catalog, encoded)
+    # probe-all makes the IVF context exact — recommendation parity is
+    # deterministic, not recall-dependent.
+    ctx_ivf = RecContext.build(
+        params, bn, vocab, catalog, encoded, ann="ivf", ann_probes=10_000
+    )
+    from anime_recommendations_tpu.ops.ivf import IVFIndex
+
+    assert isinstance(ctx_ivf.anime_table(), IVFIndex)
+
+    name = ctx.catalog.anime["Name"].iloc[3]
+    f_a, _, _ = similar_anime(ctx, name, count=8)
+    i_a, _, _ = similar_anime(ctx_ivf, name, count=8)
+    assert list(f_a["Name"]) == list(i_a["Name"])
+    np.testing.assert_allclose(
+        f_a["Similarity"].to_numpy(), i_a["Similarity"].to_numpy(), rtol=1e-5
+    )
+
+    uid = int(ctx.ratings["user_id"].iloc[0])
+    f_u, _, _ = similar_users(ctx, uid, n_users=6)
+    i_u, _, _ = similar_users(ctx_ivf, uid, n_users=6)
+    assert list(f_u["similar_users"]) == list(i_u["similar_users"])
+
+    f_m, _ = model_recs(ctx, uid, n_recs=6)
+    i_m, _ = model_recs(ctx_ivf, uid, n_recs=6)
+    assert list(f_m["Name"]) == list(i_m["Name"])
+    np.testing.assert_allclose(
+        f_m["Prediction"].to_numpy(), i_m["Prediction"].to_numpy(), rtol=1e-5
+    )
 
 
 def test_fewer_live_candidates_than_k_pads_with_dead_slots():
