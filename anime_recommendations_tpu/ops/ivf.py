@@ -88,14 +88,21 @@ def _kmeans(table, init_ids, n_clusters: int, iters: int, chunk: int):
     """
     n, d = table.shape
     cent = table[init_ids]
-    blocks = table.reshape(n // chunk, chunk, d)
+    # Pad to a chunk multiple with zero rows rather than shrinking chunk
+    # (an awkward n could otherwise collapse chunk toward 1 and unroll a
+    # multi-million-block scan). Zero rows contribute zero to the sums
+    # and the centroid update normalizes by direction, not count, so the
+    # padding is inert; assignments are sliced back to n below.
+    pad = (-n) % chunk
+    padded = jnp.pad(table, ((0, pad), (0, 0))) if pad else table
+    blocks = padded.reshape((n + pad) // chunk, chunk, d)
     cids = jnp.arange(n_clusters, dtype=jnp.int32)
 
     def assign_all(cent):
         def one(block):
             return jnp.argmax(block @ cent.T, axis=1).astype(jnp.int32)
 
-        return jax.lax.map(one, blocks).reshape(n)
+        return jax.lax.map(one, blocks).reshape(n + pad)[:n]
 
     def body(cent, _):
         def accumulate(carry, block):
@@ -152,8 +159,6 @@ def build_ivf(
         rng.choice(n, size=n_clusters, replace=False).astype(np.int32)
     )
     chunk = min(chunk, n)
-    while n % chunk:
-        chunk //= 2
     cent, assign = _kmeans(table, init_ids, n_clusters, iters, chunk)
     assign = np.asarray(assign)
 

@@ -76,11 +76,14 @@ def main() -> None:
             [wd[jnp.asarray(rng.integers(0, n, width))] for _ in range(iters)]
         )
 
-    def scan_net_ms(fn, qs):
+    def scan_net_ms(fn, handle, qs):
+        # The table/index MUST be a jit argument: a closure-captured
+        # multi-GB handle becomes a baked-in constant of the traced scan
+        # and the compile never finishes (bench.py does the same).
         @jax.jit
-        def run(qs):
+        def run(handle, qs):
             def body(acc, qq):
-                v, i = fn(qq)
+                v, i = fn(handle, qq)
                 return acc + jnp.sum(v) + jnp.sum(i.astype(jnp.float32)), None
             return jax.lax.scan(body, jnp.float32(0), qs)[0]
 
@@ -90,10 +93,10 @@ def main() -> None:
                 return acc + jnp.sum(qq) * 1.0001, None
             return jax.lax.scan(body, jnp.float32(0), qs)[0]
 
-        float(run(qs)); float(trivial(qs))
+        float(run(handle, qs)); float(trivial(qs))
         best = base = np.inf
         for _ in range(3):
-            t0 = time.time(); float(run(qs)); best = min(best, time.time() - t0)
+            t0 = time.time(); float(run(handle, qs)); best = min(best, time.time() - t0)
             t0 = time.time(); float(trivial(qs)); base = min(base, time.time() - t0)
         return (best - base) / iters * 1e3
 
@@ -105,15 +108,19 @@ def main() -> None:
             rec = np.mean(
                 [len(set(ids[r]) & set(ex_i[r])) / 10 for r in range(len(qi))]
             )
-            ms1 = scan_net_ms(lambda x: ivf_topk(idx, x, 10, probes=p), qs1)
-            ms8 = scan_net_ms(lambda x: ivf_topk(idx, x, 10, probes=p), qs8)
+            ms1 = scan_net_ms(
+                lambda h, x: ivf_topk(h, x, 10, probes=p), idx, qs1
+            )
+            ms8 = scan_net_ms(
+                lambda h, x: ivf_topk(h, x, 10, probes=p), idx, qs8
+            )
             print(
                 f"{label} probes={p:3d}: recall@10={rec:.4f}  "
                 f"q1_dev={ms1:.3f} ms  q8_dev={ms8:.3f} ms", flush=True,
             )
 
-    ms1 = scan_net_ms(lambda x: masked_topk(wd, x, 10), qs1)
-    ms8 = scan_net_ms(lambda x: masked_topk(wd, x, 10), qs8)
+    ms1 = scan_net_ms(lambda h, x: masked_topk(h, x, 10), wd, qs1)
+    ms8 = scan_net_ms(lambda h, x: masked_topk(h, x, 10), wd, qs8)
     print(f"exact twostage: q1_dev={ms1:.3f} ms  q8_dev={ms8:.3f} ms",
           flush=True)
 
