@@ -464,6 +464,59 @@ def main() -> None:
         float(np.mean([len(set(iq[i]) & set(orq[i])) / 10 for i in range(16)])), 4
     )
 
+    # ---- IVF clustered retrieval at beyond-catalog scale (ops/ivf.py) --------
+    # 2M x 128 rank-16-latent table (the clustered geometry trained tables
+    # have): exact-scan q=1 device time vs the cluster-probed sublinear
+    # path + its recall. IVF is the single-query SERVING weapon (per-query
+    # candidate gather makes batched widths favor the exact scan —
+    # NOTES_PERF round 5); f32 storage (int8 storage measured slower).
+    from anime_recommendations_tpu.ops.ivf import build_ivf, ivf_topk
+    from anime_recommendations_tpu.ops.topk import masked_topk as _mtk
+
+    n_ivf = 2_000_000
+    lat_u = jnp.asarray(
+        rng.standard_normal((n_ivf, 16)).astype(np.float32)
+    )
+    lat_p = jnp.asarray(
+        rng.standard_normal((16, d)).astype(np.float32) / 4.0
+    )
+
+    @jax.jit
+    def _mk_latent(u, p):
+        w = u @ p
+        return w / jnp.linalg.norm(w, axis=1, keepdims=True)
+
+    W_ivf = _mk_latent(lat_u, lat_p)
+    float(W_ivf[0, 0])
+    del lat_u
+    t0 = time.perf_counter()
+    ivf = build_ivf(W_ivf, n_clusters=2048, iters=8, seed=3)
+    float(ivf.centroids[0, 0])
+    details["ivf2m_build_secs"] = round(time.perf_counter() - t0, 2)
+    q_ids = rng.integers(0, n_ivf, 64)
+    q_ivf = W_ivf[jnp.asarray(q_ids)]
+    ex_ivf = np.asarray(_mtk(W_ivf, q_ivf, 10, exact_scan=True)[1])
+    qs1_ivf = jnp.stack([
+        W_ivf[jnp.asarray(rng.integers(0, n_ivf, 1))] for _ in range(ITERS)
+    ])
+    for p_ivf in (8, 32):
+        ids_p = np.asarray(ivf_topk(ivf, q_ivf, 10, probes=p_ivf)[1])
+        details[f"ivf2m_p{p_ivf}_recall_at10"] = round(float(np.mean(
+            [len(set(ids_p[i]) & set(ex_ivf[i])) / 10 for i in range(64)]
+        )), 4)
+        net = scan_device_ms(
+            lambda t, q, _p=p_ivf: ivf_topk(t, q, 10, probes=_p),
+            ivf, qs1_ivf,
+        ) - scan_base
+        details[f"ivf2m_q1_p{p_ivf}_ms_dev"] = round(max(net, 0.0), 3)
+    net = scan_device_ms(
+        lambda t, q: _mtk(t, q, 10), W_ivf, qs1_ivf
+    ) - scan_base
+    details["ivf2m_exact_q1_ms_dev"] = round(
+        max(net, n_ivf * d * 4 / 819e9 * 1e3), 3
+    )
+    del W_ivf, ivf, qs1_ivf, q_ivf
+
     # ---- model-recs scoring kernel (ops/scoring.py score_topk) ---------------
     # First-ever perf record for the third recommender hot path (VERDICT r4
     # ask 2): fused predict-all + watched-mask + top-n over the catalog
