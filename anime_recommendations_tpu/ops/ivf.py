@@ -197,6 +197,60 @@ def build_ivf(
     )
 
 
+def add_rows(index: IVFIndex, new_rows) -> IVFIndex:
+    """Append rows WITHOUT re-clustering (production table growth).
+
+    Each new row is assigned to its nearest existing centroid (one
+    device matmul) and appended to that bucket — or to the spill list
+    when the bucket is full, so additions degrade latency, never recall.
+    Centroids are unchanged: retrieval quality for the new rows matches
+    a fresh build while additions remain a modest fraction of the table;
+    rebuild with build_ivf when the distribution drifts. Row ids of the
+    new rows follow the existing table (old ids are stable). Removal is
+    the mask: pass a validity mask to ivf_topk / the recommenders rather
+    than rebuilding (the whole retrieval stack already mask-composes).
+    """
+    new_rows = jnp.asarray(new_rows, index.table.dtype)
+    if new_rows.ndim == 1:
+        new_rows = new_rows[None, :]
+    n_old = index.table.shape[0]
+    assign = np.asarray(
+        jnp.argmax(new_rows @ index.centroids.T, axis=1)
+    )
+    buckets = np.asarray(index.buckets).copy()
+    cap = buckets.shape[1]
+    fill = (buckets >= 0).sum(axis=1)
+    spill_old = np.asarray(index.spill)
+    spill_ids = list(spill_old[spill_old >= 0])
+    for i, c in enumerate(assign):
+        rid = n_old + i
+        if fill[c] < cap:
+            buckets[c, fill[c]] = rid
+            fill[c] += 1
+        else:
+            spill_ids.append(np.int32(rid))
+    s_pad = int(np.ceil(max(len(spill_ids), 1) / 8) * 8)
+    spill_arr = np.full(s_pad, -1, np.int32)
+    if spill_ids:
+        spill_arr[: len(spill_ids)] = np.asarray(spill_ids, np.int32)
+    table = jnp.concatenate([index.table, new_rows])
+    q8 = scale = None
+    if index.q8 is not None:
+        from anime_recommendations_tpu.ops.quantized import quantize_rows
+
+        qt_new = quantize_rows(new_rows)
+        q8 = jnp.concatenate([index.q8, qt_new.q])
+        scale = jnp.concatenate([index.scale, qt_new.scale])
+    return IVFIndex(
+        centroids=index.centroids,
+        buckets=jnp.asarray(buckets),
+        spill=jnp.asarray(spill_arr),
+        table=table,
+        q8=q8,
+        scale=scale,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "probes", "query_chunk", "use_head")
 )

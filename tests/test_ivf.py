@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from anime_recommendations_tpu.ops.ivf import build_ivf, ivf_topk
+from anime_recommendations_tpu.ops.ivf import add_rows, build_ivf, ivf_topk
 
 
 def _blob_table(rng, n=4096, d=32, n_centers=64, noise=0.15):
@@ -184,6 +184,63 @@ def test_ivf_context_matches_exact_recommendations(
     np.testing.assert_allclose(
         f_m["Prediction"].to_numpy(), i_m["Prediction"].to_numpy(), rtol=1e-5
     )
+
+
+def test_add_rows_probe_all_stays_exact(blobs):
+    W, index, _, _ = blobs
+    rng = np.random.default_rng(21)
+    new = _blob_table(rng, n=64, d=W.shape[1], n_centers=8)
+    grown = add_rows(index, new)
+    W2 = np.concatenate([W, new])
+    assert grown.table.shape[0] == len(W2)
+    # every row (old and new) bucketed-or-spilled exactly once
+    ids = np.concatenate(
+        [np.asarray(grown.buckets).ravel(), np.asarray(grown.spill)]
+    )
+    ids = ids[ids >= 0]
+    assert len(np.unique(ids)) == len(ids) == len(W2)
+    q = np.concatenate([W[:10], new[:10]])
+    vals, _ = ivf_topk(grown, q, k=10, probes=grown.n_clusters)
+    oracle_vals = -np.sort(-(q @ W2.T), axis=1)[:, :10]
+    np.testing.assert_allclose(np.asarray(vals), oracle_vals, atol=1e-5)
+
+
+def test_add_rows_new_rows_findable_at_small_probes(blobs):
+    W, index, _, _ = blobs
+    rng = np.random.default_rng(22)
+    new = _blob_table(rng, n=32, d=W.shape[1], n_centers=4)
+    grown = add_rows(index, new)
+    # a new row probes its own nearest cluster first: retrieving with the
+    # row itself must find it at probes=1.
+    _, ids = ivf_topk(grown, new[:8], k=1, probes=1)
+    expect = np.arange(len(W), len(W) + 8)
+    assert np.array_equal(np.asarray(ids).ravel(), expect)
+
+
+def test_add_rows_overflow_goes_to_spill():
+    rng = np.random.default_rng(23)
+    W = _blob_table(rng, n=256, d=16, n_centers=4)
+    index = build_ivf(W, n_clusters=4, iters=4, seed=1, cap_factor=1.0)
+    new = _blob_table(rng, n=200, d=16, n_centers=4)
+    grown = add_rows(index, new)
+    assert int(np.sum(np.asarray(grown.spill) >= 0)) > int(
+        np.sum(np.asarray(index.spill) >= 0)
+    )
+    q = new[:5]
+    vals, _ = ivf_topk(grown, q, k=5, probes=4)
+    W2 = np.concatenate([W, new])
+    oracle_vals = -np.sort(-(q @ W2.T), axis=1)[:, :5]
+    np.testing.assert_allclose(np.asarray(vals), oracle_vals, atol=1e-5)
+
+
+def test_add_rows_int8_index_grows_quantized(blobs):
+    W, _, _, _ = blobs
+    index8 = build_ivf(W, n_clusters=64, iters=4, seed=3, storage="int8")
+    rng = np.random.default_rng(24)
+    new = _blob_table(rng, n=16, d=W.shape[1], n_centers=4)
+    grown = add_rows(index8, new)
+    assert grown.q8.shape[0] == grown.table.shape[0] == len(W) + 16
+    assert grown.q8.dtype == np.int8 and grown.scale.shape[0] == len(W) + 16
 
 
 def test_fewer_live_candidates_than_k_pads_with_dead_slots():

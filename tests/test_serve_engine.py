@@ -67,6 +67,25 @@ def test_engine_similar_users_cache(built):
     assert uncached.cache_info() is None
 
 
+def test_engine_on_ivf_context_matches_exact(built):
+    params, bn, vocab, catalog, encoded = built
+    exact = Engine(RecContext.build(params, bn, vocab, catalog, encoded),
+                   Config())
+    ivf = Engine(
+        RecContext.build(params, bn, vocab, catalog, encoded,
+                         ann="ivf", ann_probes=100_000),
+        Config(),
+    )
+    name = catalog.anime["Name"].iloc[2]
+    uid = int(vocab.user_ids[1])
+    a = exact.similar_anime(name, k=5)
+    b = ivf.similar_anime(name, k=5)
+    assert [r["Name"] for r in a] == [r["Name"] for r in b]
+    ra = exact.model_recs(uid, k=5)
+    rb = ivf.model_recs(uid, k=5)
+    assert [r["Name"] for r in ra] == [r["Name"] for r in rb]
+
+
 def test_bf16_retrieval_context_close_to_f32(built):
     params, bn, vocab, catalog, encoded = built
     f32 = RecContext.build(params, bn, vocab, catalog, encoded)
