@@ -87,7 +87,9 @@ def _kmeans(table, init_ids, n_clusters: int, iters: int, chunk: int):
     the one-hot matmul form measured ~40x faster at 4M rows).
     """
     n, d = table.shape
-    cent = table[init_ids]
+    # Centroids live in f32 whatever the table dtype (IVFIndex contract;
+    # also keeps the scan carry dtype stable — the update produces f32).
+    cent = table[init_ids].astype(jnp.float32)
     # Pad to a chunk multiple with zero rows rather than shrinking chunk
     # (an awkward n could otherwise collapse chunk toward 1 and unroll a
     # multi-million-block scan). Zero rows contribute zero to the sums

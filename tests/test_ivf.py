@@ -243,6 +243,22 @@ def test_add_rows_int8_index_grows_quantized(blobs):
     assert grown.q8.dtype == np.int8 and grown.scale.shape[0] == len(W) + 16
 
 
+def test_bf16_table_builds_and_probe_all_matches_bf16_scores(blobs):
+    W, _, q, _ = blobs
+    Wb = jnp.asarray(W, jnp.bfloat16)
+    index = build_ivf(Wb, n_clusters=64, iters=4, seed=3)
+    assert index.centroids.dtype == jnp.float32  # carry-stable f32 centroids
+    vals, _ = ivf_topk(index, jnp.asarray(q[:8], jnp.bfloat16), k=5,
+                       probes=index.n_clusters)
+    oracle = np.asarray(
+        jnp.asarray(q[:8], jnp.bfloat16) @ jnp.asarray(W, jnp.bfloat16).T,
+        np.float32,
+    )
+    oracle_vals = -np.sort(-oracle, axis=1)[:, :5]
+    np.testing.assert_allclose(np.asarray(vals, np.float32), oracle_vals,
+                               atol=2e-2)
+
+
 def test_fewer_live_candidates_than_k_pads_with_dead_slots():
     rng = np.random.default_rng(9)
     W = _blob_table(rng, n=256, d=16, n_centers=4)
